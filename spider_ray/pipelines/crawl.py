@@ -1,0 +1,412 @@
+"""The flagship pipeline: a Ray-Data-native BFS crawl over a pages corpus.
+
+Distributed implementation of the canonical crawl semantics defined by the
+sequential oracle (spider_ray.oracle — SURVEY.md §3.1); the reference
+recursion (crawler.py:92-119) becomes a driver loop over BFS rounds where
+each round is one streaming Dataset pipeline:
+
+  pending frontier (materialized; url, host, depth, rank)
+    → politeness_split                    [per-host budget, deferral]
+    → fetch (actor pool | hash join)      [corpus lookup = "HTTP GET"]
+    → parse + store-write + link-expand   [single heavy map_batches pass]
+    → robots filter
+    → groupby(url).min(claim_key)         [shuffle 1: first-wins dedup]
+    → seen-shard filter (actor state)     [claim; misses of prior rounds out]
+    → sort(claim_key) + dense rank        [shuffle 2: canonical ordering]
+    → union with deferred → next pending
+
+Scale notes (the 100 TB / 10^10-URL design point):
+- Only frontier METADATA (url + 3 ints) is ever materialized or shuffled;
+  page bodies stream through fetch→parse→parquet inside one pass and are
+  never held beyond a batch.
+- Both shuffles are per-round and frontier-sized, not corpus-sized.
+- The seen state is K hash-partitioned actors (exact or bloom), checkpointed
+  incrementally: each round persists only that round's newly claimed URLs;
+  restore replays the claim files — O(total) once at resume, O(round) per
+  checkpoint.
+- Rounds promote atomically (write to ``rounds/.rXXXX.tmp``, rename), so a
+  killed job resumes from the last complete round and reproduces the exact
+  same final store (tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from spider_ray.canonical import canonicalize, ensure_scheme, host_of, human_repr
+from spider_ray.oracle import robots_allows
+from spider_ray.stages import claim
+from spider_ray.stages.expand import (
+    add_host_column,
+    make_parse_store_expand,
+    make_robots_filter,
+)
+from spider_ray.stages.fetch import fetch_indexed, fetch_join, load_corpus_ref
+from spider_ray.stages.politeness import politeness_split
+from spider_ray.stages.rank import assign_ranks
+from spider_ray.state.seen import UrlSeenShard, shard_of
+
+FRONTIER_COLS = ["url", "host", "depth", "rank"]
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 1
+    per_host_budget: int | None = None
+    robots: dict[str, list[str]] | None = None
+    seen_shards: int = 4
+    seen_mode: str = "exact"  # "exact" | "bloom"
+    bloom_bits: int = 1 << 24
+    fetch_mode: str = "indexed"  # "indexed" (broadcast corpus, cached task fn)
+    # | "indexed_actors" (same, actor pool) | "join" (hash join vs corpus)
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 1024
+    parse_batch_size: int = 256
+    join_partitions: int = 8
+    max_rounds: int | None = None  # stop after N rounds this call (resume later)
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    rounds: list[dict] = field(default_factory=list)
+    total_calls: int = 0
+    crawled: int = 0
+    seen_count: int = 0
+    finished: bool = True
+
+    @property
+    def store_path(self) -> str:
+        return os.path.join(self.out_dir, "store")
+
+
+def _store_round_dir(out_dir: str, r: int) -> str:
+    return os.path.join(out_dir, "store", f"r{r:04d}")
+
+
+def _round_dir(out_dir: str, r: int) -> str:
+    return os.path.join(out_dir, "rounds", f"r{r:04d}")
+
+
+def _store_rows_count(store_dir: str) -> int:
+    return sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(os.path.join(store_dir, "*.parquet"))
+    )
+
+
+def make_seen_filter(shards: list, round_id: int, n_shards: int):
+    """map_batches UDF: keep rows whose url is newly claimed by its shard."""
+
+    def seen_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        urls = batch.column("url").to_pylist()
+        by_shard: dict[int, list[int]] = {}
+        for i, u in enumerate(urls):
+            by_shard.setdefault(shard_of(u, n_shards), []).append(i)
+        keep = np.zeros(len(urls), dtype=bool)
+        futs, idxs = [], []
+        for s, rows in by_shard.items():
+            futs.append(shards[s].check_and_add.remote(round_id, [urls[i] for i in rows]))
+            idxs.append(rows)
+        for rows, mask in zip(idxs, ray.get(futs)):
+            keep[rows] = mask
+        return batch.filter(pa.array(keep))
+
+    return seen_filter
+
+
+def _decode_candidates(batch: pa.Table) -> pa.Table:
+    keys = batch.column("claim_key").to_numpy()
+    depth = pa.array(claim.decode_depth(keys), pa.int32())
+    out = batch.append_column("depth", depth)
+    out = add_host_column(out)
+    return out.select(FRONTIER_COLS)
+
+
+def _seed_frontier(
+    seeds: list[str], shards: list, n_shards: int, robots: dict | None
+) -> tuple[pa.Table, str]:
+    """Driver-side round-0 admission: canonical seed list, robots-gated,
+    claimed in order (dense ranks from 0). Returns (frontier, start_url)."""
+    start_url = canonicalize(ensure_scheme(seeds[0]))
+    ordered: list[str] = []
+    seen_local: set[str] = set()
+    for s in seeds:
+        c = canonicalize(ensure_scheme(s))
+        if c in seen_local or not robots_allows(c, robots):
+            continue
+        seen_local.add(c)
+        ordered.append(c)
+    # claim on the shards (round_id 0) — keeps shard state authoritative
+    futs = {}
+    by_shard: dict[int, list[str]] = {}
+    for u in ordered:
+        by_shard.setdefault(shard_of(u, n_shards), []).append(u)
+    for s, urls in by_shard.items():
+        futs[s] = shards[s].check_and_add.remote(0, urls)
+    ray.get(list(futs.values()))
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(ordered, pa.string()),
+            pa.array([host_of(u) for u in ordered], pa.string()),
+            pa.array(np.zeros(len(ordered), dtype=np.int32)),
+            pa.array(np.arange(len(ordered), dtype=np.int64)),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+    return tbl, start_url
+
+
+def _checkpoint_round(
+    out_dir: str,
+    r: int,
+    pending: Dataset | None,
+    claims: Dataset | None,
+    seed_tbl: pa.Table | None,
+    metrics: list[dict],
+) -> None:
+    tmp = os.path.join(out_dir, "rounds", f".r{r:04d}.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "frontier"), exist_ok=True)
+    if pending is not None and pending.count() > 0:
+        pending.write_parquet(os.path.join(tmp, "frontier"))
+    else:
+        pq.write_table(
+            FRONTIER_SCHEMA.empty_table(), os.path.join(tmp, "frontier", "empty.parquet")
+        )
+    os.makedirs(os.path.join(tmp, "claims"), exist_ok=True)
+    if seed_tbl is not None and seed_tbl.num_rows:
+        pq.write_table(
+            seed_tbl.select(["url"]), os.path.join(tmp, "claims", "seeds.parquet")
+        )
+    if claims is not None and claims.count() > 0:
+        claims.select_columns(["url"]).write_parquet(os.path.join(tmp, "claims"))
+    else:
+        pq.write_table(
+            pa.schema([("url", pa.string())]).empty_table(),
+            os.path.join(tmp, "claims", "empty.parquet"),
+        )
+    pq.write_table(
+        pa.Table.from_pylist(metrics), os.path.join(tmp, "metrics.parquet")
+    )
+    final = _round_dir(out_dir, r)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+
+
+def _find_last_complete_round(out_dir: str) -> int | None:
+    rounds = sorted(glob.glob(os.path.join(out_dir, "rounds", "r[0-9]*")))
+    if not rounds:
+        return None
+    return int(os.path.basename(rounds[-1])[1:])
+
+
+def _restore(
+    out_dir: str, shards: list, n_shards: int
+) -> tuple[Dataset, int, list[dict]]:
+    """Rebuild seen state + pending frontier + counters from the last
+    complete round's checkpoint (claims replayed across ALL rounds)."""
+    last = _find_last_complete_round(out_dir)
+    assert last is not None, "nothing to resume from"
+    # clean partial work from a crashed round last+1
+    shutil.rmtree(_store_round_dir(out_dir, last + 1), ignore_errors=True)
+    for t in glob.glob(os.path.join(out_dir, "rounds", ".r*.tmp")):
+        shutil.rmtree(t, ignore_errors=True)
+
+    claim_files: list[str] = []
+    for r in range(last + 1):
+        claim_files += glob.glob(os.path.join(_round_dir(out_dir, r), "claims", "*.parquet"))
+    claims_ds = ray.data.read_parquet(claim_files)
+
+    def bulk(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        by_shard: dict[int, list[str]] = {}
+        for u in urls:
+            by_shard.setdefault(shard_of(u, n_shards), []).append(u)
+        ray.get(
+            [shards[s].bulk_add.remote(us) for s, us in by_shard.items()]
+        )
+        return pa.Table.from_pylist([{"n": len(urls)}])
+
+    claims_ds.map_batches(bulk, batch_format="pyarrow").count()
+
+    metrics_tbl = pq.read_table(os.path.join(_round_dir(out_dir, last), "metrics.parquet"))
+    metrics = metrics_tbl.to_pylist()
+    frontier_files = glob.glob(os.path.join(_round_dir(out_dir, last), "frontier", "*.parquet"))
+    pending = ray.data.read_parquet(frontier_files).materialize()
+    return pending, last + 1, metrics
+
+
+def crawl(
+    corpus_path: str,
+    seeds: list[str],
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+    **overrides,
+) -> CrawlResult:
+    """Run (or resume) a crawl. See module docstring for the round anatomy."""
+    cfg = replace(cfg or CrawlConfig(), **overrides)
+    assert cfg.max_depth <= claim.MAX_DEPTH
+    os.makedirs(os.path.join(out_dir, "store"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "rounds"), exist_ok=True)
+
+    SeenActor = ray.remote(UrlSeenShard)
+    shards = [
+        SeenActor.remote(cfg.seen_mode, cfg.bloom_bits) for _ in range(cfg.seen_shards)
+    ]
+    robots_fn = make_robots_filter(cfg.robots) if cfg.robots else None
+    corpus_ref = (
+        load_corpus_ref(corpus_path) if cfg.fetch_mode.startswith("indexed") else None
+    )
+
+    start_url = canonicalize(ensure_scheme(seeds[0]))
+    parent_value = human_repr(start_url)
+
+    if resume:
+        pending, round_idx, metrics = _restore(out_dir, shards, cfg.seen_shards)
+        pending_count = pending.count()
+        last = metrics[-1]
+        next_rank = last["next_rank"]
+        total_calls = last["total_calls"]
+        crawled_cum = last["crawled_cum"]
+        seed_tbl = None
+    else:
+        seed_tbl, start_url = _seed_frontier(seeds, shards, cfg.seen_shards, cfg.robots)
+        parent_value = human_repr(start_url)
+        pending = ray.data.from_arrow(seed_tbl).materialize()
+        pending_count = seed_tbl.num_rows
+        round_idx, next_rank = 0, seed_tbl.num_rows
+        total_calls, crawled_cum = 0, 0
+        metrics = []
+
+    rounds_run = 0
+    while pending_count > 0 and (cfg.max_rounds is None or rounds_run < cfg.max_rounds):
+        r = round_idx
+        t0 = time.perf_counter()
+        store_dir = _store_round_dir(out_dir, r)
+        shutil.rmtree(store_dir, ignore_errors=True)  # crashed-attempt leftovers
+        os.makedirs(store_dir)
+
+        fetch_now, deferred = politeness_split(pending, cfg.per_host_budget)
+        n_fetch = fetch_now.count()
+        n_defer = pending_count - n_fetch
+
+        if cfg.fetch_mode in ("indexed", "indexed_actors"):
+            fetched = fetch_indexed(
+                fetch_now,
+                corpus_ref,
+                cfg.fetch_concurrency,
+                cfg.fetch_batch_size,
+                actors=cfg.fetch_mode == "indexed_actors",
+            )
+        else:
+            fetched = fetch_join(fetch_now, corpus_path, cfg.join_partitions)
+
+        cand = fetched.map_batches(
+            make_parse_store_expand(start_url, parent_value, cfg.max_depth, store_dir),
+            batch_format="pyarrow",
+            batch_size=cfg.parse_batch_size,
+            zero_copy_batch=True,
+        )
+        if robots_fn is not None:
+            cand = cand.map_batches(robots_fn, batch_format="pyarrow")
+        cand = cand.materialize()  # store parts + candidates produced exactly once
+
+        crawled_this = _store_rows_count(store_dir)
+        n_cand = cand.count()
+
+        ranked, n_new = None, 0
+        if n_cand > 0:
+            uniq = cand.groupby("url").aggregate(Min("claim_key", alias_name="claim_key"))
+            new = uniq.map_batches(
+                make_seen_filter(shards, r + 1, cfg.seen_shards), batch_format="pyarrow"
+            )
+            ranked, n_new = assign_ranks(new.sort("claim_key"), next_rank, col="rank")
+            if ranked is not None:
+                ranked = ranked.map_batches(
+                    _decode_candidates, batch_format="pyarrow"
+                ).materialize()
+
+        next_rank += n_new
+        total_calls += n_fetch
+        crawled_cum += crawled_this
+        pending_count = n_defer + n_new
+
+        parts = []
+        if deferred is not None:
+            d = deferred.materialize()
+            if d.count() > 0:
+                parts.append(d.select_columns(FRONTIER_COLS))
+        if ranked is not None:
+            parts.append(ranked.select_columns(FRONTIER_COLS))
+        if len(parts) == 2:
+            pending = parts[0].union(parts[1]).materialize()
+        elif len(parts) == 1:
+            pending = parts[0].materialize()
+        else:
+            pending = None
+
+        metrics.append(
+            {
+                "round": r,
+                "fetched": n_fetch,
+                "crawled": crawled_this,
+                "misses": n_fetch - crawled_this,
+                "claimed": n_new,
+                "deferred": n_defer,
+                "elapsed_s": time.perf_counter() - t0,
+                "total_calls": total_calls,
+                "crawled_cum": crawled_cum,
+                "next_rank": next_rank,
+            }
+        )
+        _checkpoint_round(
+            out_dir, r, pending, ranked, seed_tbl if r == 0 else None, metrics
+        )
+        seed_tbl = None
+        round_idx += 1
+        rounds_run += 1
+
+    seen_count = sum(ray.get([s.n_items.remote() for s in shards]))
+    for s in shards:
+        ray.kill(s)
+    return CrawlResult(
+        out_dir=out_dir,
+        rounds=metrics,
+        total_calls=total_calls,
+        crawled=crawled_cum,
+        seen_count=seen_count,
+        finished=pending_count == 0,
+    )
+
+
+def read_store(out_dir: str, canonical_order: bool = False) -> Dataset:
+    """The crawl output as a Dataset (the reference's ``url`` table,
+    schema.py:11-19, with text inline instead of side files)."""
+    files = sorted(glob.glob(os.path.join(out_dir, "store", "r[0-9]*", "*.parquet")))
+    ds = ray.data.read_parquet(files)
+    if canonical_order:
+        ds = ds.sort(["depth", "discovery_rank"])
+    return ds

@@ -1,0 +1,157 @@
+"""Parse + store-write + link-expand stage: the crawl's single heavy pass.
+
+One streaming ``map_batches`` pass per round does all per-page work
+(reference equivalents: parse crawler.py:157-172, save crawler.py:106-112,
+link generation crawler.py:140-154):
+
+  in:  fetched rows ``(url, depth, rank, html)``
+  side effect: the batch's store rows ``(url, title, parent, text, depth,
+      discovery_rank)`` are written as one parquet part file into this
+      round's store directory (tmp-file + rename, so readers never see
+      partials). Writing inside the stage instead of a second
+      ``write_parquet`` pipeline avoids re-running the parse (Ray Data
+      datasets re-execute per consumption) and keeps the round single-pass.
+  out: candidate rows ``(url, claim_key)`` — one per extracted link of pages
+      with ``depth < max_depth`` (depth gate, crawler.py:114-115), already
+      canonicalized and quirk-filtered (canonical.generate_refs).
+
+The store part file is the reference's fire-and-forget ``db.save``
+(crawler.py:106-112) made durable: content is deterministic per round, file
+names are not (uuid per task attempt). A task retried by Ray AFTER its
+rename could duplicate a part; ``finalize_store`` dedups by url if exactness
+after failures is required.
+
+HTML parsing is irreducibly per-document Python (stdlib html.parser, no
+vectorized kernel exists); the loop is over a batch inside one task, with
+everything around it (take/filter/encode) vectorized Arrow.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from spider_ray.canonical import generate_refs
+from spider_ray.parse import parse_page
+from spider_ray.stages import claim
+
+STORE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("title", pa.string()),
+        ("parent", pa.string()),
+        ("text", pa.string()),
+        ("depth", pa.int32()),
+        ("discovery_rank", pa.int64()),
+    ]
+)
+
+CANDIDATE_SCHEMA = pa.schema([("url", pa.string()), ("claim_key", pa.int64())])
+
+
+def make_parse_store_expand(start_url: str, parent_value: str, max_depth: int, store_dir: str):
+    def parse_store_expand(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        ranks = batch.column("rank").to_pylist()
+        htmls = batch.column("html").to_pylist()
+
+        titles: list[str | None] = []
+        texts: list[str] = []
+        cand_urls: list[str] = []
+        cand_keys: list[int] = []
+        for url, depth, rank, html in zip(urls, depths, ranks, htmls):
+            title, body, hrefs = parse_page(html)
+            titles.append(title)
+            texts.append(body)
+            if depth < max_depth:
+                for pos, child in enumerate(generate_refs(hrefs, start_url)):
+                    cand_urls.append(child)
+                    cand_keys.append(claim.encode(depth + 1, rank, pos))
+
+        if urls:
+            store = pa.Table.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(titles, pa.string()),
+                    pa.array([parent_value] * len(urls), pa.string()),
+                    pa.array(texts, pa.string()),
+                    pa.array(np.asarray(depths, dtype=np.int32)),
+                    pa.array(np.asarray(ranks, dtype=np.int64)),
+                ],
+                schema=STORE_SCHEMA,
+            )
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(store_dir, f".{name}.tmp")
+            pq.write_table(store, tmp)
+            os.replace(tmp, os.path.join(store_dir, name))
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(cand_urls, pa.string()),
+                pa.array(np.asarray(cand_keys, dtype=np.int64)),
+            ],
+            schema=CANDIDATE_SCHEMA,
+        )
+
+    return parse_store_expand
+
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/?#]+)"
+
+
+def add_host_column(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized host extraction (canonical URLs: host already lower-case,
+    no default port). Port, if any, is kept — it is part of the politeness
+    identity of a nonstandard-port site."""
+    import pyarrow.compute as pc
+
+    m = pc.extract_regex(batch.column(url_col), _HOST_RE)
+    host = pc.struct_field(m, "host")
+    return batch.append_column("host", pc.fill_null(host, ""))
+
+
+def make_robots_filter(rules: dict[str, list[str]]):
+    """Drop candidates whose (host, path) matches a disallow prefix.
+
+    ``rules``: host → list of disallowed path prefixes ('' = everything).
+    The rules table is a closure constant — broadcast once with the function
+    object, never re-shipped per batch (it is a small per-host table even at
+    web scale; a 10^8-host rule set would move to a ``ray.put`` handle)."""
+    from urllib.parse import urlsplit
+
+    def robots_filter(batch: pa.Table) -> pa.Table:
+        if not rules or batch.num_rows == 0:
+            return batch
+        keep = []
+        for u in batch.column("url").to_pylist():
+            s = urlsplit(u)
+            prefixes = rules.get(s.hostname.lower() if s.hostname else "")
+            if not prefixes:
+                keep.append(True)
+            else:
+                path = s.path or "/"
+                keep.append(not any(path.startswith(p) for p in prefixes))
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return robots_filter
+
+
+def finalize_store(store_root: str, out_path: str) -> None:
+    """Optional exactness net after task retries: rewrite the store keeping
+    one row per url (min discovery_rank). Reference analog: the DB's
+    UNIQUE(url) upsert (schema.py:15, postgres_database.py:122-131)."""
+    import ray
+
+    ds = ray.data.read_parquet(store_root)
+    (
+        ds.groupby("url")
+        .map_groups(
+            lambda g: g.sort_values("discovery_rank").head(1), batch_format="pandas"
+        )
+        .write_parquet(out_path)
+    )

@@ -1,0 +1,124 @@
+"""Fetch stage: "download" = look the URL up in the pages corpus.
+
+Replaces the reference's live HTTP GET (crawler.py:121-138). A URL absent
+from the corpus is the fetch-failure path (crawler.py:102-104): the row is
+dropped here and accounted as a miss by the driver (fetched − crawled),
+never retried — reference semantics.
+
+Two physical strategies (SURVEY.md §2.1 S1):
+
+- **indexed** (default): the corpus html table is ``ray.put`` ONCE by the
+  driver; each actor of the ``map_batches`` pool reads it zero-copy from the
+  object store in ``__init__`` and builds a url→row-index hash ONCE, then
+  serves every batch as O(batch) dict lookups + one Arrow ``take``. This is
+  the broadcast-small-side pattern — right whenever the corpus fits the
+  cluster object store.
+- **join**: per round, inner hash-join of the frontier against
+  ``read_parquet(corpus, columns=[url, html])`` on ``url``
+  (``Dataset.join``, hash-partitioned). Right when the corpus is far larger
+  than the object store; costs a corpus scan per round, so real deployments
+  would bucket the corpus by ``crc32(url) % B`` at ingest and read only the
+  buckets the frontier touches — the layout ``write_corpus`` mirrors with
+  per-host files.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+class _CorpusIndex:
+    """url → row index over the broadcast corpus table; built once per
+    worker process (or per actor) from the zero-copy plasma table."""
+
+    def __init__(self, tbl: pa.Table):
+        self._html = tbl.column("html").combine_chunks()
+        self._index = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
+
+    def lookup(self, batch: pa.Table) -> pa.Table:
+        idx = [self._index.get(u, -1) for u in batch.column("url").to_pylist()]
+        hit_rows = [i for i, j in enumerate(idx) if j >= 0]
+        hit_idx = [j for j in idx if j >= 0]
+        sub = batch.select(["url", "depth", "rank"]).take(pa.array(hit_rows, pa.int64()))
+        html = self._html.take(pa.array(hit_idx, pa.int64()))
+        return sub.append_column("html", html)
+
+
+# Worker-process-global cache: Ray worker processes persist across Dataset
+# executions, so the index is built once per worker for the whole crawl even
+# though each BFS round is a separate execution. (An actor pool would give
+# the same amortization but pays pool startup EVERY round, since Ray Data
+# actor pools are per-execution — measured at ~3s/round at test scale.)
+_CORPUS_CACHE: dict = {}
+
+
+def make_fetch_fn(table_ref):
+    def fetch(batch: pa.Table) -> pa.Table:
+        idx = _CORPUS_CACHE.get(table_ref)
+        if idx is None:
+            idx = _CorpusIndex(ray.get(table_ref))
+            _CORPUS_CACHE.clear()  # one corpus per worker — don't leak old runs
+            _CORPUS_CACHE[table_ref] = idx
+        return idx.lookup(batch)
+
+    return fetch
+
+
+class CorpusFetcher:
+    """Actor-pool variant of the same stage (``fetch_mode="indexed_actors"``):
+    the shape to use when per-worker state must NOT be process-global (e.g.
+    a model handle or GPU context per actor)."""
+
+    def __init__(self, table_ref):
+        self._idx = _CorpusIndex(ray.get(table_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._idx.lookup(batch)
+
+
+def fetch_indexed(
+    frontier: Dataset, table_ref, concurrency: int, batch_size: int, actors: bool = False
+) -> Dataset:
+    if actors:
+        return frontier.map_batches(
+            CorpusFetcher,
+            fn_constructor_args=(table_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    return frontier.map_batches(
+        make_fetch_fn(table_ref), batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def fetch_join(frontier: Dataset, corpus_path: str, num_partitions: int) -> Dataset:
+    """Hash-join fetch for corpora too big to broadcast."""
+    pages = ray.data.read_parquet(corpus_path, columns=["url", "html"])
+    joined = frontier.select_columns(["url", "depth", "rank"]).join(
+        pages,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url",),
+    )
+    return joined
+
+
+def load_corpus_ref(corpus_path: str):
+    """Driver-side: read the corpus (url+html only — prune at the read) and
+    put it in the object store once for all fetch actors."""
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    paths = (
+        sorted(glob.glob(os.path.join(corpus_path, "*.parquet")))
+        if os.path.isdir(corpus_path)
+        else [corpus_path]
+    )
+    tbl = pa.concat_tables(pq.read_table(p, columns=["url", "html"]) for p in paths)
+    return ray.put(tbl.combine_chunks())

@@ -1,0 +1,176 @@
+"""Partitioned URL-seen state: actor shards holding exact sets or bloom filters.
+
+Replaces the reference's in-run cache — a plain Python ``set`` in a decorator
+closure with check-then-add claim semantics (use_cache.py:14,22-24). At the
+10^10-URL design point one set per process cannot work, so the seen state is
+K hash-partitioned shards held in Ray actors: shard ``i`` owns every URL with
+``crc32(url) % K == i``; the frontier-refill stage routes each candidate URL
+to exactly one shard, so membership checks never race across shards.
+
+Claim semantics and retry-safety: candidates are globally deduplicated per
+round BEFORE the seen check (SURVEY.md §7 hard-part 1), so within one round a
+given URL reaches its shard exactly once — except when Ray retries a failed
+``map_batches`` task. ``check_and_add`` is therefore idempotent per round:
+URLs claimed during the current round answer "new" again on a repeat call,
+so a retried task reproduces its original output instead of dropping URLs.
+
+Two seen-set implementations behind one interface:
+
+- ``ExactSeen`` — a Python set; exact semantics, used at test scale and the
+  default (a 256-node cluster with 64 shards × tens of GiB of heap holds
+  ~10^9-10^10 URLs exactly).
+- ``BloomSeen`` — a classic bloom filter over a numpy bitset (double hashing
+  via blake2b, no false negatives). A false positive drops a never-seen URL
+  (~p probability, sized by ``bloom_bits``/``n_hashes``) — the standard
+  crawl-frontier trade (PAPERS.md bloom/cuckoo entries); not used where
+  oracle-exact output is asserted.
+
+Checkpointing: ``dump()``/``restore()`` round-trip the full shard state
+(including the per-round claim set) so a killed run resumes with the exact
+same URL-seen contract (SURVEY.md §7 hard-part 3).
+"""
+
+from __future__ import annotations
+
+import pickle
+import zlib
+
+import numpy as np
+
+
+def shard_of(url: str, n_shards: int) -> int:
+    """Stable cross-process routing hash (crc32 — cheap, deterministic)."""
+    return zlib.crc32(url.encode("utf-8")) % n_shards
+
+
+class ExactSeen:
+    mode = "exact"
+
+    def __init__(self) -> None:
+        self._set: set[str] = set()
+
+    def __contains__(self, url: str) -> bool:
+        return url in self._set
+
+    def add(self, url: str) -> None:
+        self._set.add(url)
+
+    def __len__(self) -> int:
+        return len(self._set)
+
+    def dump_payload(self) -> bytes:
+        return pickle.dumps(sorted(self._set), protocol=pickle.HIGHEST_PROTOCOL)
+
+    def restore_payload(self, payload: bytes) -> None:
+        self._set = set(pickle.loads(payload))
+
+
+class BloomSeen:
+    mode = "bloom"
+
+    def __init__(self, bits: int = 1 << 24, n_hashes: int = 7) -> None:
+        assert bits % 64 == 0
+        self.bits = bits
+        self.n_hashes = n_hashes
+        self._arr = np.zeros(bits // 64, dtype=np.uint64)
+        self._n = 0
+
+    def _positions(self, url: str) -> np.ndarray:
+        import hashlib
+
+        d = hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        return np.array(
+            [(h1 + i * h2) % self.bits for i in range(self.n_hashes)], dtype=np.uint64
+        )
+
+    def __contains__(self, url: str) -> bool:
+        pos = self._positions(url)
+        words = self._arr[pos >> np.uint64(6)]
+        masks = np.uint64(1) << (pos & np.uint64(63))
+        return bool(np.all(words & masks))
+
+    def add(self, url: str) -> None:
+        pos = self._positions(url)
+        # bitwise_or.at: plain fancy-indexed |= drops bits when two hash
+        # positions land in the same 64-bit word (buffered assignment)
+        np.bitwise_or.at(
+            self._arr, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+        )
+        self._n += 1
+
+    def __len__(self) -> int:
+        return self._n
+
+    def dump_payload(self) -> bytes:
+        return pickle.dumps(
+            (self.bits, self.n_hashes, self._n, self._arr.tobytes()),
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def restore_payload(self, payload: bytes) -> None:
+        self.bits, self.n_hashes, self._n, raw = pickle.loads(payload)
+        self._arr = np.frombuffer(raw, dtype=np.uint64).copy()
+
+
+class UrlSeenShard:
+    """One hash-range shard of the URL-seen state. Run as a Ray actor
+    (``ray.remote(UrlSeenShard)``); all methods are called via actor handles
+    from inside ``map_batches`` tasks, which serializes access per shard."""
+
+    def __init__(self, mode: str = "exact", bloom_bits: int = 1 << 24, n_hashes: int = 7):
+        self._seen = ExactSeen() if mode == "exact" else BloomSeen(bloom_bits, n_hashes)
+        self._round = -1
+        self._claimed_this_round: set[str] = set()
+
+    def check_and_add(self, round_id: int, urls: list[str]) -> list[bool]:
+        """Claim each unseen URL; returns True where the URL is newly claimed.
+
+        Idempotent within ``round_id``: a URL already claimed during this
+        round answers True again (task-retry safety — see module docstring).
+        A new ``round_id`` resets the per-round claim set.
+        """
+        if round_id != self._round:
+            self._round = round_id
+            self._claimed_this_round = set()
+        out = []
+        for u in urls:
+            if u in self._claimed_this_round:
+                out.append(True)
+            elif u in self._seen:
+                out.append(False)
+            else:
+                self._seen.add(u)
+                self._claimed_this_round.add(u)
+                out.append(True)
+        return out
+
+    def bulk_add(self, urls: list[str]) -> int:
+        """Restore path: re-add previously claimed URLs without touching
+        per-round claim state (used when replaying checkpoint claim files)."""
+        for u in urls:
+            if u not in self._seen:
+                self._seen.add(u)
+        return len(self._seen)
+
+    def n_items(self) -> int:
+        return len(self._seen)
+
+    def dump(self) -> dict:
+        return {
+            "mode": self._seen.mode,
+            "payload": self._seen.dump_payload(),
+            "n_items": len(self._seen),
+            "round": self._round,
+            "claimed": pickle.dumps(sorted(self._claimed_this_round)),
+        }
+
+    def restore(self, d: dict) -> None:
+        if d["mode"] == "exact":
+            self._seen = ExactSeen()
+        else:
+            self._seen = BloomSeen()
+        self._seen.restore_payload(d["payload"])
+        self._round = d["round"]
+        self._claimed_this_round = set(pickle.loads(d["claimed"]))

@@ -1,0 +1,116 @@
+"""Engine-vs-oracle equivalence (SURVEY.md §5.2): the distributed crawl must
+reproduce the sequential oracle's URL-seen set, canonical ordering, and
+byte-identical title/text per url — across parallelism / partitioning /
+politeness / fetch-strategy settings."""
+
+import pandas as pd
+import pytest
+
+from spider_ray.corpus import build_pages_table, corpus_as_dict, write_corpus
+from spider_ray.oracle import crawl_oracle
+
+SEEDS = ["https://h0.example/p0", "h1.example/p0", "https://h2.example/p3"]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    return write_corpus(str(d), n_pages=200, n_hosts=8, links_per_page=5)
+
+
+@pytest.fixture(scope="module")
+def corpus_dict():
+    return corpus_as_dict(build_pages_table(n_pages=200, n_hosts=8, links_per_page=5))
+
+
+def _run_engine(corpus_dir, tmp_path, **kw):
+    from spider_ray.pipelines.crawl import crawl, read_store
+
+    res = crawl(corpus_dir, SEEDS, str(tmp_path / "out"), **kw)
+    store = read_store(str(tmp_path / "out")).to_pandas()
+    return res, store
+
+
+def _assert_matches_oracle(res, store: pd.DataFrame, oracle):
+    # URL-seen set identical (includes misses)
+    engine_seen_store = set(store["url"])
+    oracle_store_urls = {r.url for r in oracle.store}
+    assert engine_seen_store == oracle_store_urls
+    assert res.seen_count == len(oracle.seen)
+    # counters match (crawler.py:87-90 semantics)
+    assert res.total_calls == oracle.total_calls
+    assert res.crawled == oracle.crawled
+    # canonical ordering identical
+    ordered = store.sort_values(["depth", "discovery_rank"])["url"].tolist()
+    assert ordered == oracle.canonical_order()
+    # per-url depth, rank, title, text byte-identical; parent always start url
+    o = {r.url: r for r in oracle.store}
+    for row in store.itertuples():
+        ref = o[row.url]
+        assert (row.depth, row.discovery_rank) == (ref.depth, ref.discovery_rank), row.url
+        assert row.title == ref.title or (pd.isna(row.title) and ref.title is None)
+        assert row.text == ref.text, f"text mismatch for {row.url}"
+        assert row.parent == ref.parent
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("depth", [0, 1, 2])
+def test_engine_matches_oracle_depths(corpus_dir, corpus_dict, tmp_path, depth):
+    res, store = _run_engine(corpus_dir, tmp_path, max_depth=depth)
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=depth)
+    _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_with_politeness(corpus_dir, corpus_dict, tmp_path):
+    res, store = _run_engine(corpus_dir, tmp_path, max_depth=2, per_host_budget=3)
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2, per_host_budget=3)
+    _assert_matches_oracle(res, store, oracle)
+    # politeness is order-neutral (quirk q5 contract): same store as unbudgeted
+    free = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
+    assert {r.url for r in free.store} == set(store["url"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_with_robots(corpus_dir, corpus_dict, tmp_path):
+    robots = {"h1.example": [""], "h2.example": ["/p1"]}
+    res, store = _run_engine(corpus_dir, tmp_path, max_depth=2, robots=robots)
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2, robots=robots)
+    _assert_matches_oracle(res, store, oracle)
+    assert not any(u.startswith("https://h1.example") for u in store["url"])
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("shards", [1, 7])
+def test_engine_invariant_to_shard_count(corpus_dir, corpus_dict, tmp_path, shards):
+    res, store = _run_engine(corpus_dir, tmp_path, max_depth=2, seen_shards=shards)
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
+    _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_invariant_to_batch_size(corpus_dir, corpus_dict, tmp_path):
+    res, store = _run_engine(
+        corpus_dir, tmp_path, max_depth=2, fetch_batch_size=7, parse_batch_size=3
+    )
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
+    _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_join_fetch_mode(corpus_dir, corpus_dict, tmp_path):
+    res, store = _run_engine(
+        corpus_dir, tmp_path, max_depth=1, fetch_mode="join", join_partitions=3
+    )
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=1)
+    _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_mode_no_false_negatives(corpus_dir, corpus_dict, tmp_path):
+    # bloom sized generously → no FPs at this scale → identical to exact
+    res, store = _run_engine(
+        corpus_dir, tmp_path, max_depth=2, seen_mode="bloom", bloom_bits=1 << 20
+    )
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
+    _assert_matches_oracle(res, store, oracle)

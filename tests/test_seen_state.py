@@ -1,0 +1,66 @@
+import numpy as np
+
+from spider_ray.state.seen import BloomSeen, ExactSeen, UrlSeenShard, shard_of
+
+
+def test_shard_routing_stable():
+    assert shard_of("https://a.example/p1", 8) == shard_of("https://a.example/p1", 8)
+    assert 0 <= shard_of("x", 5) < 5
+
+
+def test_exact_seen_roundtrip():
+    s = ExactSeen()
+    s.add("a")
+    s.add("b")
+    d = s.dump_payload()
+    s2 = ExactSeen()
+    s2.restore_payload(d)
+    assert "a" in s2 and "b" in s2 and "c" not in s2 and len(s2) == 2
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    b = BloomSeen(bits=1 << 16, n_hashes=7)
+    urls = [f"https://h{i}.example/p{i}" for i in range(1000)]
+    for u in urls:
+        b.add(u)
+    assert all(u in b for u in urls)  # no false negatives, ever
+    probes = [f"https://x{i}.example/q{i}" for i in range(2000)]
+    fp = sum(1 for p in probes if p in b)
+    # m/n ≈ 65.5 bits/item, k=7 → theoretical fp ~1e-6; allow slack
+    assert fp / len(probes) < 0.01
+
+
+def test_bloom_roundtrip():
+    b = BloomSeen(bits=1 << 12, n_hashes=5)
+    b.add("u1")
+    d = b.dump_payload()
+    b2 = BloomSeen()
+    b2.restore_payload(d)
+    assert "u1" in b2 and "u2" not in b2
+
+
+def test_shard_claim_idempotent_within_round():
+    sh = UrlSeenShard(mode="exact")
+    assert sh.check_and_add(1, ["a", "b"]) == [True, True]
+    # retry of the same round's batch → same answer (task-retry safety)
+    assert sh.check_and_add(1, ["a", "b"]) == [True, True]
+    # next round: now seen
+    assert sh.check_and_add(2, ["a", "c"]) == [False, True]
+    assert sh.n_items() == 3
+
+
+def test_shard_dump_restore():
+    sh = UrlSeenShard(mode="exact")
+    sh.check_and_add(1, ["a", "b"])
+    d = sh.dump()
+    sh2 = UrlSeenShard(mode="exact")
+    sh2.restore(d)
+    assert sh2.check_and_add(1, ["a"]) == [True]  # same round → idempotent claim
+    assert sh2.check_and_add(2, ["b"]) == [False]
+    assert sh2.n_items() == 2
+
+
+def test_shard_bulk_add():
+    sh = UrlSeenShard(mode="exact")
+    sh.bulk_add(["a", "b"])
+    assert sh.check_and_add(5, ["a", "c"]) == [False, True]
