@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the spider_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship crawl — renders /root/testdata/sf0.001 documents into
+  a pages corpus (BASELINE.json input_hint schema) under /tmp, runs the
+  distributed BFS crawl (spider_ray.pipelines.crawl), returns the store.
+- ``queries()``: every implemented operator from SURVEY.md §2 plus the
+  training-data ops (dedup family, text analysis, ANN, multimodal plumbing),
+  from spider_ray.pipelines.registry.
+- ``oracle_sql()``: the DuckDB-equivalent SQL for each SQL-expressible query
+  (column names match the Ray side exactly; see registry.py for the
+  float-determinism rules).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +21,33 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import shutil
+    import tempfile
+
+    from spider_ray.corpus import corpus_from_documents
+    from spider_ray.pipelines.crawl import crawl, read_store
+
+    root = tempfile.mkdtemp(prefix="spider_ray_entry_")
+    corpus = corpus_from_documents("/root/testdata/sf0.001", f"{root}/pages")
+    crawl(
+        corpus,
+        ["https://d0.example/doc0", "https://d1.example/doc1"],
+        f"{root}/out",
+        max_depth=3,
+        per_host_budget=64,
+    )
+    df = read_store(f"{root}/out", canonical_order=True).to_pandas()
+    shutil.rmtree(root, ignore_errors=True)
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from spider_ray.pipelines.registry import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spider_ray.pipelines.registry import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

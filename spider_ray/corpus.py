@@ -185,3 +185,49 @@ def write_corpus(
 def corpus_as_dict(tbl: pa.Table) -> dict[str, bytes]:
     """url → html bytes, for the sequential oracle's in-memory 'network'."""
     return dict(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
+
+
+def corpus_from_documents(sf_dir: str, out_dir: str, n_hosts: int = 16, links: int = 4) -> str:
+    """Render the driver's ``documents`` table into a pages corpus
+    (input_hint schema): doc ``i`` becomes ``https://d{i % n_hosts}.example/doc{i}``
+    with a deterministic link graph over doc ids. Runs as a Ray pipeline so
+    corpus construction itself scales (read → map_batches render → parquet)."""
+    import os
+
+    import numpy as np
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    n_docs = docs.count()
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls, htmls = [], []
+        for i, text, lang in zip(ids, texts, langs):
+            anchors = "".join(
+                f'<a href="https://d{t % n_hosts}.example/doc{t}">l</a>'
+                for t in ((i * 7 + 3 * j + 1) % n_docs for j in range(links))
+            )
+            urls.append(f"https://d{i % n_hosts}.example/doc{i}")
+            htmls.append(
+                f"<html><head><title>doc {i} ({lang})</title></head>"
+                f"<body><p>{text}</p>{anchors}</body></html>".encode("utf-8")
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array([_BASE_TS + timedelta(seconds=i) for i in ids], pa.timestamp("us")),
+                pa.array(htmls, pa.binary()),
+                pa.array(texts, pa.string()),
+                pa.array(langs, pa.string()),
+            ],
+            schema=PAGES_SCHEMA,
+        )
+
+    docs.map_batches(render, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir

@@ -1,0 +1,110 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video columns are treated as opaque ``binary`` with metadata
+columns; decode/feature-extract run as actor-pool ``map_batches`` stages
+(state — a decoder/model — initialized once per actor). No image/audio
+libraries exist in this environment, so the DECODE KERNEL is stubbed:
+
+- ``decode_image`` raises ``NotImplementedError`` — the seam where a real
+  decoder (PIL/torchvision/ffmpeg) plugs in;
+- ``FakeDecoder`` produces deterministic pseudo-metadata (dims derived from
+  a crc32 of the payload) so the Ray-side plumbing — schema, batch sizing,
+  actor signature, output layout — is real and tested end-to-end.
+
+Batch sizing note for real payloads: images/audio are MBs per row — pass a
+SMALL ``batch_size`` (e.g. 32) and let ``concurrency × batch_size × row
+size`` bound per-actor heap; blocks of wide binary rows also warrant a lower
+``DataContext.target_max_block_size``.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """The real-decoder seam. Not available in this environment."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; plug a decoder in here and FakeDecoder stays the "
+        "schema contract"
+    )
+
+
+class FakeDecoder:
+    """Actor-pool stage: binary payload → deterministic metadata row.
+
+    __init__ = per-actor setup (where a real model/decoder would load);
+    __call__ = per-batch work."""
+
+    def __init__(self) -> None:
+        self.calls = 0  # stands in for loaded-model state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        crcs = np.array([zlib.crc32(p) for p in payloads], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "width": pa.array(crcs % 1024 + 1),
+                "height": pa.array((crcs >> 10) % 1024 + 1),
+            }
+        )
+
+
+def docs_as_payloads(sf_dir: str) -> Dataset:
+    """Stand-in multimodal table: documents.text utf-8-encoded as the opaque
+    binary payload column (the driver testdata has no real binary column)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def enc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in batch.column("text").to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def payload_bytes(sf_dir: str) -> Dataset:
+    """Oracle-checked projection of the binary column: byte length per doc."""
+    ds = docs_as_payloads(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload_bytes": pa.compute.binary_length(batch.column("payload")).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def image_meta_stub(sf_dir: str) -> Dataset:
+    """The full actor-pool decode pipeline over the stand-in payloads
+    (small batches — the real-payload sizing discipline)."""
+    return docs_as_payloads(sf_dir).map_batches(
+        FakeDecoder,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )

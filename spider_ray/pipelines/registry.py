@@ -1,0 +1,172 @@
+"""Query registry: every implemented operator exposed as a named callable
+``(sf_dir) -> Dataset | DataFrame | Table`` plus, where ANSI-SQL can express
+the identical computation, a DuckDB oracle string (consumed by
+``__ray_entry__.py``; the driver compares row-count + schema + value-hash).
+
+Determinism rules shared by both sides (see relational.py/textops.py):
+integer-cents money aggregates, integer-only quality flags, explicit ORDER
+BY + tie-breaks on every LIMIT query, BIGINT casts where DuckDB would widen
+to HUGEINT, and rank-only (no float column) outputs for similarity queries.
+"""
+
+from __future__ import annotations
+
+from spider_ray.pipelines import ann, dedup, multimodal, relational, textops
+
+
+def crawl_bfs(_sf_dir: str):
+    """Flagship crawl over a deterministic synthetic corpus (the pages table
+    per BASELINE.json input_hint is NOT part of the driver views, so this is
+    a rows-only query; the pytest oracle in tests/test_crawl_engine.py is
+    its correctness gate)."""
+    import shutil
+    import tempfile
+
+    from spider_ray.corpus import write_corpus
+    from spider_ray.pipelines.crawl import crawl, read_store
+
+    root = tempfile.mkdtemp(prefix="spider_ray_crawl_")
+    corpus = write_corpus(f"{root}/corpus", n_pages=300, n_hosts=8, links_per_page=5)
+    crawl(
+        corpus,
+        ["https://h0.example/p0", "https://h1.example/p0", "https://h2.example/p3"],
+        f"{root}/out",
+        max_depth=2,
+    )
+    df = (
+        read_store(f"{root}/out", canonical_order=True)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return df
+
+
+QUERIES = {
+    # reference surface (SURVEY.md §2: S6, A1, A2, A4, A5, A3)
+    "count_documents": relational.count_documents,
+    "catch_by_source": relational.catch_by_source,
+    "source_counts": relational.source_counts,
+    "topk_longest_docs": relational.topk_longest_docs,
+    "dedup_exact": dedup.exact_dedup,
+    # relational / pipeline shapes
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "orders_by_segment": relational.orders_by_segment,
+    "events_hourly": relational.events_hourly,
+    "top_users_by_events": relational.top_users_by_events,
+    "sessionize": relational.sessionize,
+    # text analysis
+    "token_counts": textops.token_counts,
+    "doc_fingerprints": textops.doc_fingerprints,
+    "quality_scores": textops.quality_scores,
+    "lang_confusion": textops.lang_confusion,
+    "shingle_stats": textops.shingle_stats,
+    # dedup family / similarity
+    "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    "simhash_table": dedup.simhash_table,
+    "embedding_near_dup": dedup.embedding_near_dup_pairs,
+    "embedding_topk": ann.brute_topk,
+    # multimodal plumbing
+    "payload_bytes": multimodal.payload_bytes,
+    "image_meta_stub": multimodal.image_meta_stub,
+    # flagship (rows-only)
+    "crawl_bfs": crawl_bfs,
+}
+
+
+ORACLE_SQL = {
+    "count_documents": "SELECT count(*) AS n FROM documents",
+    "catch_by_source": (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE source = 'src7' ORDER BY doc_id LIMIT 10"
+    ),
+    "source_counts": (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source"
+    ),
+    "topk_longest_docs": (
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
+    ),
+    "dedup_exact": (
+        "SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+    ),
+    "q1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+        "*(100-CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4, "
+        "count(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "orders_by_segment": (
+        "SELECT c_mktsegment AS mktsegment, count(*) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    ),
+    "events_hourly": (
+        "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n "
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "top_users_by_events": (
+        "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id "
+        "ORDER BY n_events DESC, user_id LIMIT 10"
+    ),
+    "sessionize": (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM ("
+        "SELECT user_id, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS s FROM ("
+        "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
+        "FROM events)) WHERE s = 1 GROUP BY user_id"
+    ),
+    "token_counts": (
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "
+        "AS n_tokens FROM documents"
+    ),
+    "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "quality_scores": (
+        "SELECT doc_id, n_tokens, punct_count, stop_count, "
+        "(n_tokens >= 10 AND stop_count*20 >= n_tokens) AS passes FROM ("
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_tokens, "
+        "CAST(len(regexp_extract_all(text,'[.,;:!?]')) AS BIGINT) AS punct_count, "
+        r"CAST(len(regexp_extract_all(lower(text),'\b(?:the|and|of|to|in|a|is)\b')) AS BIGINT) "
+        "AS stop_count FROM documents)"
+    ),
+    "lang_confusion": (
+        "SELECT lang, lang_pred, count(*) AS n FROM ("
+        "SELECT lang, CASE "
+        "WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 'en' "
+        "WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 'de' "
+        "WHEN s2 >= s3 AND s2 >= s4 THEN 'es' "
+        "WHEN s3 >= s4 THEN 'fr' ELSE 'zh' END AS lang_pred FROM ("
+        "SELECT lang, "
+        r"len(regexp_extract_all(lower(text), '\b(?:the|and|is|of|to)\b')) AS s0, "
+        r"len(regexp_extract_all(lower(text), '\b(?:der|die|und|ist|das)\b')) AS s1, "
+        r"len(regexp_extract_all(lower(text), '\b(?:el|los|las|y|es)\b')) AS s2, "
+        r"len(regexp_extract_all(lower(text), '\b(?:le|les|et|est|une)\b')) AS s3, "
+        "len(regexp_extract_all(lower(text), '(?:的|是|了|在|和)')) AS s4 "
+        "FROM documents)) GROUP BY lang, lang_pred"
+    ),
+    "shingle_stats": (
+        "SELECT doc_id, CAST(len(list_distinct(list_transform("
+        "range(1, len(words)-1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]"
+        "))) AS BIGINT) AS n_shingles FROM ("
+        r"SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words FROM documents)"
+    ),
+    "embedding_topk": (
+        "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id FROM embeddings, q "
+        "ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id LIMIT 10"
+    ),
+    "embedding_near_dup": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding)*100 >= 40"
+    ),
+    "payload_bytes": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes "
+        "FROM documents"
+    ),
+    # rows-only (no SQL equivalent): minhash_lsh_pairs, simhash_table,
+    # image_meta_stub, crawl_bfs
+}

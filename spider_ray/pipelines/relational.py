@@ -1,0 +1,173 @@
+"""Relational query ops over the driver test tables.
+
+Each function mirrors a reference capability (SURVEY.md §2 S6/A1/A2/A4/A5 —
+select-by-key + limit, count_all, grouped counts, top-k) or a standard
+pipeline shape (pre-aggregated groupby, broadcast join, event-time windows),
+expressed Ray-Data-first and paired 1:1 with ANSI SQL in
+``spider_ray.pipelines.registry`` for the DuckDB oracle.
+
+Determinism contract with the oracle: every aggregate over float money
+columns is computed in INTEGER CENTS (``round(x*100)`` as int64) so Ray's
+per-block partial sums and DuckDB's sequential sums agree bit-exactly —
+float summation order would otherwise differ in the last ulp and break the
+driver's value-hash compare.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def count_documents(sf_dir: str) -> pa.Table:
+    """A1 count_all (reference postgres_database.py:184-200 → ds.count())."""
+    n = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def catch_by_source(sf_dir: str, source: str = "src7", limit: int = 10) -> Dataset:
+    """S6 'catch': select-by-parent + limit (postgres_database.py:144-160),
+    keyed on ``source`` with a deterministic ORDER BY (the reference's
+    unordered LIMIT is nondeterministic; both sides order by doc_id)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+    )
+    return ds.filter(expr=f"source == '{source}'").sort("doc_id").limit(limit)
+
+
+def source_counts(sf_dir: str) -> Dataset:
+    """A4 grouped counts (per-'host' skew stats analog)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+def topk_longest_docs(sf_dir: str, k: int = 20) -> Dataset:
+    """A5 top-k with deterministic tie-break."""
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    return np.rint(np.asarray(arr, dtype=np.float64) * 100).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir: str) -> Dataset:
+    """TPC-H-Q1-shaped grouped aggregate with per-batch PARTIAL aggregation:
+    each batch emits one partial row per (returnflag, linestatus), then a
+    small groupby sums partials — rows shuffled = O(groups × blocks), not
+    O(rows) (the pre-aggregate pattern for wide groupbys at scale)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            qty_c=_cents(batch["l_quantity"].to_numpy()),
+            base_c=_cents(batch["l_extendedprice"].to_numpy()),
+        )
+        batch["disc_c4"] = batch["base_c"] * (
+            100 - _cents(batch["l_discount"].to_numpy())
+        )
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("qty_c", "sum"),
+            sum_base_c=("base_c", "sum"),
+            sum_disc_c4=("disc_c4", "sum"),
+            count_order=("qty_c", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_base_c", alias_name="sum_base_c"),
+        Sum("sum_disc_c4", alias_name="sum_disc_c4"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+def orders_by_segment(sf_dir: str) -> Dataset:
+    """Broadcast join: customer (small side) is read once on the driver and
+    shipped via ``ray.put``; orders stream through a map_batches lookup —
+    no shuffle (SURVEY.md §2.4; the guide's dimension-table pattern)."""
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+    )
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        batch = batch.assign(
+            mktsegment=batch["o_custkey"].map(lookup),
+            total_c=_cents(batch["o_totalprice"].to_numpy()),
+        )
+        return batch.groupby("mktsegment", as_index=False).agg(
+            n_orders=("total_c", "size"), total_c=("total_c", "sum")
+        )
+
+    partials = ds.map_batches(join_partial, batch_format="pandas", batch_size=16384)
+    return partials.groupby("mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("total_c", alias_name="total_c")
+    )
+
+
+def events_hourly(sf_dir: str) -> Dataset:
+    """Event-time tumbling window (1h) as a vectorized truncate + groupby."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({"event_type": batch.column("event_type"), "hour": hour})
+
+    return (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    agg = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """Session counts per user (streaming-shaped op per SURVEY.md §2.6 RD
+    mapping): partition by user, order by ts within group, count gap-starts.
+    A new session begins when ts − prev_ts > gap."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy())
+        n = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")

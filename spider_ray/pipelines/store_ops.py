@@ -1,0 +1,69 @@
+"""Query/maintenance ops over a crawl store — the reference's ``catch`` /
+``cobweb`` surface (SURVEY.md §3.2-§3.3) re-expressed over the store
+parquet instead of a SQL database.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import ray
+from ray.data import Dataset
+
+from spider_ray.canonical import canonicalize, ensure_scheme, human_repr
+from spider_ray.pipelines.crawl import read_store
+
+
+def catch(out_dir: str, parent_url: str, limit: int = 10) -> Dataset:
+    """'catch': rows by parent + limit (cli.py:54-60 →
+    postgres_database.py:144-160). The lookup key is normalized exactly like
+    the reference (``URL(url).human_repr()``, db_ops_controller.py:59);
+    ordered by discovery_rank for a deterministic LIMIT."""
+    key = human_repr(canonicalize(ensure_scheme(parent_url)))
+    ds = read_store(out_dir)
+    return (
+        ds.filter(expr=f"parent == '{key}'")
+        .sort("discovery_rank")
+        .limit(limit)
+        .select_columns(["url", "title"])
+    )
+
+
+def count_all(out_dir: str) -> int:
+    """'cobweb count' (A1, postgres_database.py:184-200)."""
+    return read_store(out_dir).count()
+
+
+def drop_store(out_dir: str) -> None:
+    """'cobweb drop': delete the table AND the page files
+    (db_ops_controller.py:71-83 + html_file_writer.py:46-55) — here one
+    prefix delete, since bodies live inline in the store parquet."""
+    shutil.rmtree(os.path.join(out_dir, "store"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "rounds"), ignore_errors=True)
+
+
+def reconcile_stores(old_dir: str, new_dir: str, out_path: str, overwrite: bool = True) -> Dataset:
+    """Cross-run upsert (S3): re-crawl reconciliation with the reference's
+    overwrite flag semantics (postgres_database.py:104-142,162-182 —
+    ON CONFLICT(url) DO UPDATE when overwrite, keep-old when not).
+    Implemented as union + groupby(url) keep-winner; the winner is the new
+    row when ``overwrite`` else the old row."""
+    old = read_store(old_dir).map_batches(
+        lambda b: b.assign(_gen=0), batch_format="pandas"
+    )
+    new = read_store(new_dir).map_batches(
+        lambda b: b.assign(_gen=1), batch_format="pandas"
+    )
+    want = 1 if overwrite else 0
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        match = g[g["_gen"] == want]
+        row = match.iloc[:1] if len(match) else g.iloc[:1]
+        return row.drop(columns=["_gen"])
+
+    merged = old.union(new).groupby("url").map_groups(pick, batch_format="pandas")
+    merged.write_parquet(out_path)
+    return ray.data.read_parquet(out_path)

@@ -1,0 +1,154 @@
+"""Text-analysis operators over a documents table — the per-document stages a
+large-scale training-data pipeline runs before dedup/filtering: token
+counting, content fingerprinting, quality scoring, language ID, shingle
+statistics.
+
+All stages are ``map_batches`` transforms; scoring regexes are module-level
+compiled constants (shipped once with the function, compiled once per worker
+process import — nothing is rebuilt per batch). Counting uses vectorized
+``pandas.str.count``; each op's semantics are chosen to be expressible in
+DuckDB (RE2) with IDENTICAL results, so every one of these has a SQL oracle
+(see registry.py):
+
+- token count = number of ``\\S+`` runs;
+- fingerprint = md5 hexdigest of the utf-8 text;
+- quality flags use integer arithmetic only (no float ratios → no ulp drift);
+- language ID = marker-word counts per language, argmax with a fixed
+  priority order (numpy argmax picks the first maximum — the SQL CASE chain
+  is written in the same order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+TOKEN_RE = r"\S+"
+PUNCT_RE = r"[.,;:!?]"
+STOP_RE = r"\b(?:the|and|of|to|in|a|is)\b"
+
+# language marker words; priority order en > de > es > fr > zh on ties
+LANG_MARKERS = [
+    ("en", r"\b(?:the|and|is|of|to)\b"),
+    ("de", r"\b(?:der|die|und|ist|das)\b"),
+    ("es", r"\b(?:el|los|las|y|es)\b"),
+    ("fr", r"\b(?:le|les|et|est|une)\b"),
+    ("zh", r"(?:的|是|了|在|和)"),
+]
+
+
+def _docs(sf_dir: str, columns: list[str]) -> Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def token_counts(sf_dir: str) -> Dataset:
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["text"].str.count(TOKEN_RE).astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def doc_fingerprints(sf_dir: str) -> Dataset:
+    """Exact content fingerprint (md5 of utf-8 text) — the dedup key."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fps})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def quality_scores(sf_dir: str) -> Dataset:
+    """Integer-only quality heuristics: token/punct/stopword counts and a
+    pass flag (≥10 tokens and ≥5% stopwords — 'looks like prose')."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_tokens = text.str.count(TOKEN_RE).astype(np.int64)
+        punct = text.str.count(PUNCT_RE).astype(np.int64)
+        stop = text.str.lower().str.count(STOP_RE).astype(np.int64)
+        passes = (n_tokens >= 10) & (stop * 20 >= n_tokens)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "punct_count": punct,
+                "stop_count": stop,
+                "passes": passes,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def lang_scores_frame(batch: pd.DataFrame) -> np.ndarray:
+    low = batch["text"].str.lower()
+    return np.stack(
+        [low.str.count(rx).to_numpy(dtype=np.int64) for _, rx in LANG_MARKERS], axis=1
+    )
+
+
+def lang_confusion(sf_dir: str) -> Dataset:
+    """n-gram-heuristic language ID, reported as a (lang, lang_pred, n)
+    confusion table against the corpus label."""
+
+    names = [n for n, _ in LANG_MARKERS]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        scores = lang_scores_frame(batch)
+        pred = [names[i] for i in scores.argmax(axis=1)]  # first max = priority
+        return pd.DataFrame({"lang": batch["lang"], "lang_pred": pred})
+
+    preds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(f, batch_format="pandas")
+    return preds.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+
+
+def shingle_stats(sf_dir: str, n: int = 3) -> Dataset:
+    """Distinct word-n-gram shingles per document (the MinHash input set
+    size — useful to size LSH parameters)."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        for t in batch["text"]:
+            words = t.lower().split()
+            counts.append(
+                len({" ".join(words[i : i + n]) for i in range(len(words) - n + 1)})
+                if len(words) >= n
+                else 0
+            )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "n_shingles": np.asarray(counts, np.int64)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def rolling_fingerprint(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> int:
+    """Deterministic rolling-hash document fingerprint (Rabin-Karp style):
+    min of window hashes — robust to local edits, used by tests as a
+    locality-sensitive signature."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        data = data + b"\x00" * (window - len(data))
+    h = 0
+    pw = pow(base, window - 1, mod)
+    best = None
+    for i, b in enumerate(data):
+        h = (h * base + b) % mod
+        if i >= window:
+            h = (h - data[i - window] * pw * base) % mod
+        if i >= window - 1:
+            best = h if best is None else min(best, h)
+    return best

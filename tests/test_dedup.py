@@ -1,0 +1,94 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden under a bright sky"
+)
+NEAR = BASE.replace("bright", "cloudy")
+OTHER = (
+    "completely different content about database engines and vectorized "
+    "execution with columnar storage formats and distributed shuffles"
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_planted_dupes():
+    import ray
+
+    from spider_ray.pipelines.dedup import minhash_lsh_pairs
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [BASE, BASE, NEAR, OTHER],
+            }
+        )
+    )
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.6).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in got  # exact dup
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert not any(4 in p for p in got)  # unrelated never pairs
+    exact = pairs[(pairs.doc_a == 1) & (pairs.doc_b == 2)].iloc[0]
+    assert exact.n_inter == exact.n_union  # jaccard exactly 1
+
+
+def test_minhash_signature_deterministic_and_similar():
+    from spider_ray.pipelines.dedup import minhash_signature
+
+    s1, s2 = minhash_signature(BASE), minhash_signature(BASE)
+    assert (s1 == s2).all()
+    near = minhash_signature(NEAR)
+    other = minhash_signature(OTHER)
+    sim_near = (s1 == near).mean()
+    sim_other = (s1 == other).mean()
+    assert sim_near > 0.5 > sim_other  # minhash agreement ≈ jaccard
+
+
+def test_simhash_hamming_properties():
+    from spider_ray.pipelines.dedup import simhash64
+
+    a, b, c = simhash64(BASE), simhash64(NEAR), simhash64(OTHER)
+    assert a == simhash64(BASE)
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(a, b) < 12 < ham(a, c)
+
+
+def test_rolling_fingerprint_deterministic():
+    from spider_ray.pipelines.textops import rolling_fingerprint
+
+    assert rolling_fingerprint(BASE) == rolling_fingerprint(BASE)
+    assert rolling_fingerprint(BASE) != rolling_fingerprint(OTHER)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_topk_recall_vs_brute():
+    from spider_ray.pipelines.ann import brute_topk, lsh_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = brute_topk(sf, k=10).to_pandas()["vec_id"].tolist()
+    narrow = lsh_topk(sf, k=10, probe_hamming=1)["vec_id"].tolist()
+    wide = lsh_topk(sf, k=10, probe_hamming=3)["vec_id"].tolist()
+    # random near-orthogonal embeddings are LSH's worst case — require the
+    # query itself (cos=1) always found, moderate recall, and recall
+    # monotone in probe width
+    r_narrow = len(set(exact) & set(narrow)) / 10
+    r_wide = len(set(exact) & set(wide)) / 10
+    assert exact[0] == 0 and narrow[0] == 0 and wide[0] == 0
+    assert r_wide >= max(r_narrow, 0.4)
+
+
+def test_fake_decoder_smoke():
+    import pyarrow as pa
+
+    from spider_ray.pipelines.multimodal import FakeDecoder, decode_image
+
+    d = FakeDecoder()
+    out = d(pa.table({"doc_id": [1], "payload": [b"abc"]}))
+    assert out.column("payload_bytes").to_pylist() == [3]
+    assert out.column("width").to_pylist()[0] >= 1
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

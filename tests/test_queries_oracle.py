@@ -1,0 +1,77 @@
+"""Local simulation of the driver's correctness gate: run every registry
+query through Ray Data AND its DuckDB oracle SQL over the same parquet
+tables, then compare row count, column names, and values (column-name-sorted,
+row-sorted — order-insensitive, like the driver's value-hash)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    if isinstance(obj, Dataset):
+        df = obj.to_pandas()
+    elif isinstance(obj, pa.Table):
+        df = obj.to_pandas()
+    else:
+        df = obj.copy()
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _oracle_names():
+    from spider_ray.pipelines.registry import ORACLE_SQL
+
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(name, con):
+    from spider_ray.pipelines.registry import ORACLE_SQL, QUERIES
+
+    ray_df = _normalize(QUERIES[name](SF_DIR))
+    sql_df = _normalize(con.execute(ORACLE_SQL[name]).fetch_df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    for col in ray_df.columns:
+        a, b = ray_df[col], sql_df[col]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                a.astype(float), b.astype(float), check_names=False
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), f"{name}.{col}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rows_only_queries_run():
+    from spider_ray.pipelines.registry import ORACLE_SQL, QUERIES
+
+    rows_only = [n for n in QUERIES if n not in ORACLE_SQL and n != "crawl_bfs"]
+    for name in rows_only:
+        out = _normalize(QUERIES[name](SF_DIR))
+        assert len(out) >= 0 and len(out.columns) >= 1, name

@@ -1,0 +1,84 @@
+import pytest
+
+from spider_ray.corpus import write_corpus
+
+SEEDS = ["https://h0.example/p0", "h1.example/p0"]
+
+
+@pytest.fixture(scope="module")
+def crawled(tmp_path_factory, ray_session):
+    from spider_ray.pipelines.crawl import crawl
+
+    root = tmp_path_factory.mktemp("store_ops")
+    corpus = write_corpus(str(root / "corpus"), n_pages=120, n_hosts=6)
+    out = str(root / "out")
+    crawl(corpus, SEEDS, out, max_depth=2)
+    return corpus, out, root
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_catch_by_parent(crawled):
+    from spider_ray.pipelines.store_ops import catch
+
+    _, out, _ = crawled
+    # every store row's parent is the start url (quirk q2) — catch on it
+    df = catch(out, "h0.example/p0", limit=5).to_pandas()
+    assert len(df) == 5
+    assert list(df.columns) == ["url", "title"]
+    assert df["url"].iloc[0] == "https://h0.example/p0"
+    # unknown parent → empty
+    assert catch(out, "https://nope.example/x", limit=5).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_count_all(crawled):
+    from spider_ray.pipelines.crawl import read_store
+    from spider_ray.pipelines.store_ops import count_all
+
+    _, out, _ = crawled
+    assert count_all(out) == read_store(out).count() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reconcile_overwrite_semantics(crawled):
+    from spider_ray.pipelines.crawl import crawl, read_store
+    from spider_ray.pipelines.store_ops import reconcile_stores
+
+    corpus, out, root = crawled
+    out2 = str(root / "out2")
+    crawl(corpus, ["https://h2.example/p0"], out2, max_depth=1)
+    old = read_store(out).to_pandas()
+    new = read_store(out2).to_pandas()
+    overlap = set(old.url) & set(new.url)
+
+    merged_ow = reconcile_stores(out, out2, str(root / "m1"), overwrite=True).to_pandas()
+    merged_keep = reconcile_stores(out, out2, str(root / "m2"), overwrite=False).to_pandas()
+    assert set(merged_ow.url) == set(old.url) | set(new.url)
+    assert set(merged_ow.url) == set(merged_keep.url)
+    for u in overlap:
+        # winner's discovery_rank tells which generation survived
+        assert (
+            merged_ow[merged_ow.url == u].discovery_rank.iloc[0]
+            == new[new.url == u].discovery_rank.iloc[0]
+        )
+        assert (
+            merged_keep[merged_keep.url == u].discovery_rank.iloc[0]
+            == old[old.url == u].discovery_rank.iloc[0]
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drop_store(tmp_path):
+    import os
+
+    from spider_ray.corpus import write_corpus as wc
+    from spider_ray.pipelines.crawl import crawl
+    from spider_ray.pipelines.store_ops import drop_store
+
+    corpus = wc(str(tmp_path / "c"), n_pages=40, n_hosts=4)
+    out = str(tmp_path / "o")
+    crawl(corpus, ["https://h0.example/p0"], out, max_depth=1)
+    assert os.path.exists(os.path.join(out, "store"))
+    drop_store(out)
+    assert not os.path.exists(os.path.join(out, "store"))
+    assert not os.path.exists(os.path.join(out, "rounds"))
