@@ -23,9 +23,20 @@ Arrow columns inside ``map_batches`` and go straight back to Arrow).
 
 from __future__ import annotations
 
+import re
 from urllib.parse import unquote, urljoin, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# Fast path: a URL matching this is ALREADY in canonical form (lower-case
+# http(s) scheme and host, no port, non-empty path, no query, no fragment) —
+# canonicalize() is the identity on it, has_query() is False, is_absolute()
+# is True. The slow urllib path below is the spec; this is a pure
+# short-circuit for the overwhelmingly common shape of crawl-discovered
+# links (urlsplit+urlunsplit cost ~10µs/URL — the hot-path cost at 10^10
+# URLs).
+_CANONICAL_RE = re.compile(r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?/[^?#]*$")
+_HOST_FAST_RE = re.compile(r"^[a-z0-9+.-]+://([^/?#]+)")
 
 
 def ensure_scheme(url: str) -> str:
@@ -46,6 +57,8 @@ def canonicalize(url: str) -> str:
     and host lower-cased, default port dropped, empty path on an absolute URL
     normalized to ``/`` (yarl's parsing does this implicitly).
     """
+    if _CANONICAL_RE.match(url):
+        return url
     s = urlsplit(url)
     scheme = s.scheme.lower()
     host = s.hostname.lower() if s.hostname else ""
@@ -60,6 +73,8 @@ def canonicalize(url: str) -> str:
 def host_of(url: str) -> str:
     """Canonical host (lower-cased, no port) — the partitioning key for
     politeness / skew handling (SURVEY.md §4 'Partitioning / skew')."""
+    if _CANONICAL_RE.match(url):
+        return _HOST_FAST_RE.match(url).group(1)
     h = urlsplit(url).hostname
     return h.lower() if h else ""
 
@@ -102,6 +117,10 @@ def generate_refs(hrefs: list[str], start_url: str) -> list[str]:
     out: list[str] = []
     start_c = canonicalize(start_url)
     for href in hrefs:
+        if _CANONICAL_RE.match(href):  # already-canonical absolute link
+            if href != start_c:
+                out.append(href)
+            continue
         if has_query(href):
             continue
         if not is_absolute(href):

@@ -31,12 +31,15 @@ from datetime import datetime, timedelta
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# html/text use 64-bit offsets: a corpus slice can exceed the 2 GiB int32
+# offset limit of binary/string when concatenated for broadcast
+# (SURVEY.md §7 hard-part 6)
 PAGES_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us")),
-        ("html", pa.binary()),
-        ("text", pa.string()),
+        ("html", pa.large_binary()),
+        ("text", pa.large_string()),
         ("lang", pa.string()),
     ]
 )
@@ -115,6 +118,46 @@ def render_page(
     return page_url(host, page), html.encode("utf-8"), text
 
 
+def build_pages_slice(
+    n_pages: int,
+    n_hosts: int,
+    links_per_page: int,
+    seed: int,
+    n_words: int,
+    hot_share: float,
+    host: int,
+    page_lo: int,
+    page_hi: int,
+) -> pa.Table:
+    """Materialize pages ``page_lo..page_hi-1`` of one host — the unit of
+    parallel generation (each page depends only on the global counts and its
+    own (seed, host, page) RNG)."""
+    counts = host_page_counts(n_pages, n_hosts, hot_share)
+    offset = sum(counts[:host])
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for j in range(page_lo, min(page_hi, counts[host])):
+        ordinal = offset + j
+        url, html, text = render_page(
+            host, j, ordinal, counts, links_per_page, seed, n_words
+        )
+        urls.append(url)
+        tss.append(_BASE_TS + timedelta(seconds=ordinal))
+        htmls.append(html)
+        texts.append(text)
+        langs.append(_LANGS[ordinal % len(_LANGS)])
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(htmls, pa.large_binary()),
+            pa.array(texts, pa.large_string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
 def build_pages_table(
     n_pages: int = 200,
     n_hosts: int = 8,
@@ -124,38 +167,14 @@ def build_pages_table(
     hot_share: float = 0.5,
     host_range: tuple[int, int] | None = None,
 ) -> pa.Table:
-    """Materialize (a host-slice of) the corpus as one Arrow table.
-
-    ``host_range=(lo, hi)`` generates hosts ``lo..hi-1`` only — the unit of
-    parallel generation (each host's pages depend only on the global counts).
-    """
+    """Materialize (a host-slice of) the corpus as one Arrow table."""
     counts = host_page_counts(n_pages, n_hosts, hot_share)
-    offsets = [0]
-    for c in counts:
-        offsets.append(offsets[-1] + c)
     lo, hi = host_range if host_range else (0, n_hosts)
-
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for k in range(lo, hi):
-        for j in range(counts[k]):
-            ordinal = offsets[k] + j
-            url, html, text = render_page(
-                k, j, ordinal, counts, links_per_page, seed, n_words
-            )
-            urls.append(url)
-            tss.append(_BASE_TS + timedelta(seconds=ordinal))
-            htmls.append(html)
-            texts.append(text)
-            langs.append(_LANGS[ordinal % len(_LANGS)])
-    return pa.Table.from_arrays(
-        [
-            pa.array(urls, pa.string()),
-            pa.array(tss, pa.timestamp("us")),
-            pa.array(htmls, pa.binary()),
-            pa.array(texts, pa.string()),
-            pa.array(langs, pa.string()),
-        ],
-        schema=PAGES_SCHEMA,
+    return pa.concat_tables(
+        build_pages_slice(
+            n_pages, n_hosts, links_per_page, seed, n_words, hot_share, k, 0, counts[k]
+        )
+        for k in range(lo, hi)
     )
 
 
@@ -173,12 +192,38 @@ def write_corpus(
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    # chunk hosts so the hot host is its own file(s) and small hosts batch up
-    for k in range(n_hosts):
-        tbl = build_pages_table(
-            n_pages, n_hosts, links_per_page, seed, n_words, hot_share, (k, k + 1)
-        )
-        pq.write_table(tbl, os.path.join(out_dir, f"pages-h{k:04d}.parquet"))
+    counts = host_page_counts(n_pages, n_hosts, hot_share)
+    chunk = 5000
+    units = [
+        (k, lo, min(lo + chunk, counts[k]))
+        for k in range(n_hosts)
+        for lo in range(0, counts[k], chunk)
+    ]
+
+    import ray
+
+    if ray.is_initialized() and n_pages >= 20_000:
+        # parallel generation: one task per (host, page-range) slice
+        @ray.remote
+        def _gen(unit):
+            k, lo, hi = unit
+            tbl = build_pages_slice(
+                n_pages, n_hosts, links_per_page, seed, n_words, hot_share, k, lo, hi
+            )
+            pq.write_table(
+                tbl, os.path.join(out_dir, f"pages-h{k:04d}-p{lo:07d}.parquet")
+            )
+            return tbl.num_rows
+
+        ray.get([_gen.remote(u) for u in units])
+    else:
+        for k, lo, hi in units:
+            tbl = build_pages_slice(
+                n_pages, n_hosts, links_per_page, seed, n_words, hot_share, k, lo, hi
+            )
+            pq.write_table(
+                tbl, os.path.join(out_dir, f"pages-h{k:04d}-p{lo:07d}.parquet")
+            )
     return out_dir
 
 
@@ -222,8 +267,8 @@ def corpus_from_documents(sf_dir: str, out_dir: str, n_hosts: int = 16, links: i
             [
                 pa.array(urls, pa.string()),
                 pa.array([_BASE_TS + timedelta(seconds=i) for i in ids], pa.timestamp("us")),
-                pa.array(htmls, pa.binary()),
-                pa.array(texts, pa.string()),
+                pa.array(htmls, pa.large_binary()),
+                pa.array(texts, pa.large_string()),
                 pa.array(langs, pa.string()),
             ],
             schema=PAGES_SCHEMA,

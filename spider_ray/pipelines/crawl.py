@@ -34,6 +34,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field, replace
 
@@ -73,8 +74,9 @@ class CrawlConfig:
     max_depth: int = 1
     per_host_budget: int | None = None
     robots: dict[str, list[str]] | None = None
-    seen_shards: int = 4
+    seen_shards: int = 8
     seen_mode: str = "exact"  # "exact" | "bloom"
+    dedup_mode: str = "actor"  # "actor" (offer/harvest on shards) | "groupby"
     bloom_bits: int = 1 << 24
     fetch_mode: str = "indexed"  # "indexed" (broadcast corpus, cached task fn)
     # | "indexed_actors" (same, actor pool) | "join" (hash join vs corpus)
@@ -82,6 +84,7 @@ class CrawlConfig:
     fetch_batch_size: int = 1024
     parse_batch_size: int = 256
     join_partitions: int = 8
+    prewarm: bool = False  # pre-build the corpus index in every worker
     max_rounds: int | None = None  # stop after N rounds this call (resume later)
 
 
@@ -112,6 +115,33 @@ def _store_rows_count(store_dir: str) -> int:
         pq.read_metadata(p).num_rows
         for p in glob.glob(os.path.join(store_dir, "*.parquet"))
     )
+
+
+def make_offer_fn(shards: list, round_id: int, n_shards: int):
+    """Phase A of the fused dedup+claim (UrlSeenShard.offer): route each
+    candidate (url, claim_key) to its shard. Returns per-batch counts only —
+    the data lands in shard state, harvested after the barrier."""
+
+    def offer(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n:
+            urls = batch.column("url").to_pylist()
+            keys = batch.column("claim_key").to_pylist()
+            by_shard: dict[int, tuple[list, list]] = {}
+            for u, k in zip(urls, keys):
+                s = shard_of(u, n_shards)
+                e = by_shard.get(s)
+                if e is None:
+                    e = ([], [])
+                    by_shard[s] = e
+                e[0].append(u)
+                e[1].append(k)
+            ray.get(
+                [shards[s].offer.remote(round_id, us, ks) for s, (us, ks) in by_shard.items()]
+            )
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    return offer
 
 
 def make_seen_filter(shards: list, round_id: int, n_shards: int):
@@ -178,41 +208,67 @@ def _seed_frontier(
     return tbl, start_url
 
 
+# checkpoints up to this many rows are collected and written by the driver
+# (zero extra Dataset executions); larger ones stream via write_parquet
+_SMALL_CHECKPOINT_ROWS = 200_000
+
+
+def _collect_tables(ds: Dataset) -> pa.Table | None:
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls)
+
+
 def _checkpoint_round(
     out_dir: str,
     r: int,
-    pending: Dataset | None,
-    claims: Dataset | None,
+    pending_tbls: list[pa.Table],
+    n_pending: int,
+    pending_big: Dataset | None,
     seed_tbl: pa.Table | None,
     metrics: list[dict],
 ) -> None:
+    """Write round r's checkpoint and atomically promote it.
+
+    The URL-seen lineage needs NO separate claims files: every claimed url
+    sits in the pending frontier at the end of its claim round (it is only
+    removed by being fetched in a LATER round), so the union of all rounds'
+    frontier files + the seed list reproduces the full seen set on resume.
+    Seeds are the one exception (fetched in round 0, never pending at a
+    checkpoint) and get their own tiny file."""
     tmp = os.path.join(out_dir, "rounds", f".r{r:04d}.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.join(tmp, "frontier"), exist_ok=True)
-    if pending is not None and pending.count() > 0:
-        pending.write_parquet(os.path.join(tmp, "frontier"))
-    else:
+
+    if n_pending == 0:
         pq.write_table(
             FRONTIER_SCHEMA.empty_table(), os.path.join(tmp, "frontier", "empty.parquet")
         )
-    os.makedirs(os.path.join(tmp, "claims"), exist_ok=True)
-    if seed_tbl is not None and seed_tbl.num_rows:
-        pq.write_table(
-            seed_tbl.select(["url"]), os.path.join(tmp, "claims", "seeds.parquet")
-        )
-    if claims is not None and claims.count() > 0:
-        claims.select_columns(["url"]).write_parquet(os.path.join(tmp, "claims"))
+    elif pending_big is not None:
+        pending_big.write_parquet(os.path.join(tmp, "frontier"))
     else:
         pq.write_table(
-            pa.schema([("url", pa.string())]).empty_table(),
-            os.path.join(tmp, "claims", "empty.parquet"),
+            pa.concat_tables(pending_tbls).select(FRONTIER_SCHEMA.names),
+            os.path.join(tmp, "frontier", "data.parquet"),
         )
-    pq.write_table(
-        pa.Table.from_pylist(metrics), os.path.join(tmp, "metrics.parquet")
-    )
+
+    if seed_tbl is not None and seed_tbl.num_rows:
+        pq.write_table(seed_tbl.select(["url"]), os.path.join(tmp, "seeds.parquet"))
+
+    pq.write_table(pa.Table.from_pylist(metrics), os.path.join(tmp, "metrics.parquet"))
     final = _round_dir(out_dir, r)
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)
+
+
+def _union_parts(parts: list[Dataset]) -> Dataset | None:
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _find_last_complete_round(out_dir: str) -> int | None:
@@ -234,10 +290,14 @@ def _restore(
     for t in glob.glob(os.path.join(out_dir, "rounds", ".r*.tmp")):
         shutil.rmtree(t, ignore_errors=True)
 
+    # seen set = seeds ∪ union of every round's pending frontier (each
+    # claimed url is pending at the end of its claim round — see
+    # _checkpoint_round docstring)
     claim_files: list[str] = []
     for r in range(last + 1):
-        claim_files += glob.glob(os.path.join(_round_dir(out_dir, r), "claims", "*.parquet"))
-    claims_ds = ray.data.read_parquet(claim_files)
+        claim_files += glob.glob(os.path.join(_round_dir(out_dir, r), "frontier", "*.parquet"))
+        claim_files += glob.glob(os.path.join(_round_dir(out_dir, r), "seeds.parquet"))
+    claims_ds = ray.data.read_parquet(claim_files, columns=["url"])
 
     def bulk(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -280,6 +340,10 @@ def crawl(
     corpus_ref = (
         load_corpus_ref(corpus_path) if cfg.fetch_mode.startswith("indexed") else None
     )
+    if corpus_ref is not None and cfg.prewarm:
+        from spider_ray.stages.fetch import prewarm_workers
+
+        prewarm_workers(corpus_ref, int(ray.cluster_resources().get("CPU", 4)))
 
     start_url = canonicalize(ensure_scheme(seeds[0]))
     parent_value = human_repr(start_url)
@@ -302,6 +366,7 @@ def crawl(
         metrics = []
 
     rounds_run = 0
+    ckpt_thread: threading.Thread | None = None
     while pending_count > 0 and (cfg.max_rounds is None or rounds_run < cfg.max_rounds):
         r = round_idx
         t0 = time.perf_counter()
@@ -310,8 +375,20 @@ def crawl(
         os.makedirs(store_dir)
 
         fetch_now, deferred = politeness_split(pending, cfg.per_host_budget)
-        n_fetch = fetch_now.count()
+        n_fetch = pending_count if deferred is None else fetch_now.count()
         n_defer = pending_count - n_fetch
+
+        # fetch/parse parallelism == input block count: split the round's
+        # frontier so every CPU gets work (a sorted/unioned frontier often
+        # arrives as 1-2 blocks), capped so blocks never get degenerate
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        desired = max(
+            -(-n_fetch // cfg.fetch_batch_size),  # ceil
+            min(cpus, -(-n_fetch // 64)),
+        )
+        target_blocks = max(1, min(desired, 4 * cpus))
+        if n_fetch > 0:
+            fetch_now = fetch_now.repartition(target_blocks)
 
         if cfg.fetch_mode in ("indexed", "indexed_actors"):
             fetched = fetch_indexed(
@@ -324,49 +401,95 @@ def crawl(
         else:
             fetched = fetch_join(fetch_now, corpus_path, cfg.join_partitions)
 
-        cand = fetched.map_batches(
-            make_parse_store_expand(start_url, parent_value, cfg.max_depth, store_dir),
-            batch_format="pyarrow",
-            batch_size=cfg.parse_batch_size,
-            zero_copy_batch=True,
-        )
-        if robots_fn is not None:
-            cand = cand.map_batches(robots_fn, batch_format="pyarrow")
-        cand = cand.materialize()  # store parts + candidates produced exactly once
-
-        crawled_this = _store_rows_count(store_dir)
-        n_cand = cand.count()
-
-        ranked, n_new = None, 0
-        if n_cand > 0:
-            uniq = cand.groupby("url").aggregate(Min("claim_key", alias_name="claim_key"))
-            new = uniq.map_batches(
-                make_seen_filter(shards, r + 1, cfg.seen_shards), batch_format="pyarrow"
+        if cfg.dedup_mode == "actor":
+            # ONE streaming execution for the whole round body: fetch →
+            # parse → store-part write → robots gate → dedup+claim OFFER to
+            # the seen shards (fused in expand.py). Only per-batch counts
+            # come back; candidates never hit the object store. The
+            # candidates' one unavoidable all-to-all is the url-hash actor
+            # routing itself.
+            stage = make_parse_store_expand(
+                start_url,
+                parent_value,
+                cfg.max_depth,
+                store_dir,
+                offer_to=(shards, r + 1, cfg.seen_shards),
+                robots_rules=cfg.robots,
             )
-            ranked, n_new = assign_ranks(new.sort("claim_key"), next_rank, col="rank")
-            if ranked is not None:
-                ranked = ranked.map_batches(
-                    _decode_candidates, batch_format="pyarrow"
-                ).materialize()
+            counts = fetched.map_batches(
+                stage,
+                batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size,
+                zero_copy_batch=True,
+            ).materialize()
+            t_parse = time.perf_counter() - t0
+            ctbl = _collect_tables(counts)
+            crawled_this = int(pa.compute.sum(ctbl.column("crawled")).as_py()) if ctbl else 0
+            n_cand = int(pa.compute.sum(ctbl.column("candidates")).as_py()) if ctbl else 0
+
+            t1 = time.perf_counter()
+            ranked, n_new = None, 0
+            if n_cand > 0:
+                new = ray.data.from_arrow_refs(
+                    [s.harvest.remote(r + 1) for s in shards]
+                )
+                ranked, n_new = assign_ranks(
+                    new.sort("claim_key"),
+                    next_rank,
+                    col="rank",
+                    post_fn=_decode_candidates,
+                )
+            t_refill = time.perf_counter() - t1
+        else:
+            cand = fetched.map_batches(
+                make_parse_store_expand(
+                    start_url, parent_value, cfg.max_depth, store_dir
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size,
+                zero_copy_batch=True,
+            )
+            if robots_fn is not None:
+                cand = cand.map_batches(robots_fn, batch_format="pyarrow")
+            cand = cand.materialize()  # store parts + candidates exactly once
+            t_parse = time.perf_counter() - t0
+
+            crawled_this = _store_rows_count(store_dir)
+            n_cand = cand.count()
+
+            t1 = time.perf_counter()
+            ranked, n_new = None, 0
+            if n_cand > 0:
+                uniq = cand.groupby("url").aggregate(
+                    Min("claim_key", alias_name="claim_key")
+                )
+                new = uniq.map_batches(
+                    make_seen_filter(shards, r + 1, cfg.seen_shards),
+                    batch_format="pyarrow",
+                )
+                # decode fused into the rank tasks — one execution for
+                # groupby→seen→sort→rank→decode
+                ranked, n_new = assign_ranks(
+                    new.sort("claim_key"),
+                    next_rank,
+                    col="rank",
+                    post_fn=_decode_candidates,
+                )
+            t_refill = time.perf_counter() - t1
 
         next_rank += n_new
         total_calls += n_fetch
         crawled_cum += crawled_this
         pending_count = n_defer + n_new
 
+        # next frontier = lazy union of already-materialized parts (no extra
+        # execution; counts are known arithmetically)
         parts = []
-        if deferred is not None:
-            d = deferred.materialize()
-            if d.count() > 0:
-                parts.append(d.select_columns(FRONTIER_COLS))
+        if deferred is not None and n_defer > 0:
+            parts.append(deferred.select_columns(FRONTIER_COLS).materialize())
         if ranked is not None:
-            parts.append(ranked.select_columns(FRONTIER_COLS))
-        if len(parts) == 2:
-            pending = parts[0].union(parts[1]).materialize()
-        elif len(parts) == 1:
-            pending = parts[0].materialize()
-        else:
-            pending = None
+            parts.append(ranked)
+        pending = _union_parts(parts)
 
         metrics.append(
             {
@@ -375,20 +498,48 @@ def crawl(
                 "crawled": crawled_this,
                 "misses": n_fetch - crawled_this,
                 "claimed": n_new,
+                "candidates": n_cand,
                 "deferred": n_defer,
                 "elapsed_s": time.perf_counter() - t0,
+                "t_fetch_parse": t_parse,
+                "t_frontier_refill": t_refill,
                 "total_calls": total_calls,
                 "crawled_cum": crawled_cum,
                 "next_rank": next_rank,
             }
         )
-        _checkpoint_round(
-            out_dir, r, pending, ranked, seed_tbl if r == 0 else None, metrics
+        # checkpoint r overlaps round r+1's heavy execution via a single
+        # writer thread; threads are serialized (join before submit) so
+        # round dirs promote strictly in order — resume correctness depends
+        # on rounds/rK existing for every K < last
+        if pending_count == 0:
+            p_tbls, p_big = [], None
+        elif pending_count <= _SMALL_CHECKPOINT_ROWS:
+            p_tbls = [t for p in parts for t in [_collect_tables(p)] if t is not None]
+            p_big = None
+        else:
+            p_tbls, p_big = [], _union_parts(parts)
+        if ckpt_thread is not None:
+            ckpt_thread.join()
+        ckpt_thread = threading.Thread(
+            target=_checkpoint_round,
+            args=(
+                out_dir,
+                r,
+                p_tbls,
+                pending_count,
+                p_big,
+                seed_tbl if r == 0 else None,
+                list(metrics),
+            ),
         )
+        ckpt_thread.start()
         seed_tbl = None
         round_idx += 1
         rounds_run += 1
 
+    if ckpt_thread is not None:
+        ckpt_thread.join()
     seen_count = sum(ray.get([s.n_items.remote() for s in shards]))
     for s in shards:
         ray.kill(s)

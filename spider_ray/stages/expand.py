@@ -53,7 +53,42 @@ STORE_SCHEMA = pa.schema(
 CANDIDATE_SCHEMA = pa.schema([("url", pa.string()), ("claim_key", pa.int64())])
 
 
-def make_parse_store_expand(start_url: str, parent_value: str, max_depth: int, store_dir: str):
+COUNTS_SCHEMA = pa.schema([("crawled", pa.int64()), ("candidates", pa.int64())])
+
+
+def _robots_keep(urls: list[str], keys: list[int], rules) -> tuple[list[str], list[int]]:
+    """Inline robots gate over canonical candidate urls (same semantics as
+    make_robots_filter, applied before the rows exist)."""
+    from urllib.parse import urlsplit
+
+    ku, kk = [], []
+    for u, k in zip(urls, keys):
+        s = urlsplit(u)
+        prefixes = rules.get(s.hostname.lower() if s.hostname else "")
+        if prefixes:
+            path = s.path or "/"
+            if any(path.startswith(p) for p in prefixes):
+                continue
+        ku.append(u)
+        kk.append(k)
+    return ku, kk
+
+
+def make_parse_store_expand(
+    start_url: str,
+    parent_value: str,
+    max_depth: int,
+    store_dir: str,
+    offer_to=None,
+    robots_rules=None,
+):
+    """When ``offer_to=(shards, round_id, n_shards)`` is given, candidates
+    are routed straight to the seen shards (UrlSeenShard.offer) from inside
+    this stage and only per-batch COUNTS flow downstream — the whole round
+    body (fetch → parse → store write → robots → dedup offer) is then ONE
+    streaming execution with no candidate blocks in the object store.
+    Without it, candidate rows are emitted for the groupby dedup path."""
+
     def parse_store_expand(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_pylist()
@@ -73,6 +108,9 @@ def make_parse_store_expand(start_url: str, parent_value: str, max_depth: int, s
                     cand_urls.append(child)
                     cand_keys.append(claim.encode(depth + 1, rank, pos))
 
+        if offer_to is not None and robots_rules:
+            cand_urls, cand_keys = _robots_keep(cand_urls, cand_keys, robots_rules)
+
         if urls:
             store = pa.Table.from_arrays(
                 [
@@ -89,6 +127,36 @@ def make_parse_store_expand(start_url: str, parent_value: str, max_depth: int, s
             tmp = os.path.join(store_dir, f".{name}.tmp")
             pq.write_table(store, tmp)
             os.replace(tmp, os.path.join(store_dir, name))
+
+        if offer_to is not None:
+            import ray
+
+            from spider_ray.state.seen import shard_of
+
+            shards, round_id, n_shards = offer_to
+            if cand_urls:
+                by_shard: dict[int, tuple[list, list]] = {}
+                for u, k in zip(cand_urls, cand_keys):
+                    s = shard_of(u, n_shards)
+                    e = by_shard.get(s)
+                    if e is None:
+                        e = ([], [])
+                        by_shard[s] = e
+                    e[0].append(u)
+                    e[1].append(k)
+                ray.get(
+                    [
+                        shards[s].offer.remote(round_id, us, ks)
+                        for s, (us, ks) in by_shard.items()
+                    ]
+                )
+            return pa.Table.from_arrays(
+                [
+                    pa.array([len(urls)], pa.int64()),
+                    pa.array([len(cand_urls)], pa.int64()),
+                ],
+                schema=COUNTS_SCHEMA,
+            )
 
         return pa.Table.from_arrays(
             [

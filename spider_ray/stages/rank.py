@@ -24,18 +24,21 @@ from ray.data.block import BlockAccessor
 
 
 @ray.remote
-def _add_rank_block(block, offset: int, col: str):
+def _add_rank_block(block, offset: int, col: str, post_fn):
     tbl = BlockAccessor.for_block(block).to_arrow()
     ranks = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
-    return tbl.append_column(col, ranks)
+    tbl = tbl.append_column(col, ranks)
+    return post_fn(tbl) if post_fn is not None else tbl
 
 
 def assign_ranks(
-    ds_sorted: Dataset, offset: int, col: str = "rank"
+    ds_sorted: Dataset, offset: int, col: str = "rank", post_fn=None
 ) -> tuple[Dataset | None, int]:
     """Append a dense int64 ``col`` numbering the rows of ``ds_sorted`` in
-    dataset order, starting at ``offset``. Returns ``(dataset, n_rows)``;
-    dataset is None when the input is empty."""
+    dataset order, starting at ``offset``, then apply ``post_fn`` (an
+    Arrow-table transform) inside the same per-block task — fusing any
+    decode/projection step into the rank pass instead of paying another
+    execution. Returns ``(dataset, n_rows)``; dataset is None when empty."""
     mds = ds_sorted.materialize()
     tasks = []
     n = 0
@@ -45,7 +48,7 @@ def assign_ranks(
             assert rows is not None, "materialized block metadata must have num_rows"
             if rows == 0:
                 continue
-            tasks.append(_add_rank_block.remote(ref, offset + n, col))
+            tasks.append(_add_rank_block.remote(ref, offset + n, col, post_fn))
             n += rows
     if not tasks:
         return None, 0

@@ -98,6 +98,15 @@ def test_engine_invariant_to_batch_size(corpus_dir, corpus_dict, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_groupby_dedup_mode(corpus_dir, corpus_dict, tmp_path):
+    # the groupby dedup path must produce identical claims to the fused
+    # actor offer/harvest path (both == oracle)
+    res, store = _run_engine(corpus_dir, tmp_path, max_depth=2, dedup_mode="groupby")
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
+    _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_engine_join_fetch_mode(corpus_dir, corpus_dict, tmp_path):
     res, store = _run_engine(
         corpus_dir, tmp_path, max_depth=1, fetch_mode="join", join_partitions=3
