@@ -108,7 +108,13 @@ def crawl_oracle(
     max_depth: int = 1,
     per_host_budget: int | None = None,
     robots: dict[str, list[str]] | None = None,
+    use_cache: bool = True,
 ) -> OracleResult:
+    """``use_cache=False`` reproduces ``--no-cache`` (use_cache.py:19-28 /
+    cli.py:79-83): the claim check is bypassed entirely, so every candidate
+    occurrence is admitted, fetched and re-expanded (terminates via the
+    depth gate); the store gets one row per occurrence (the reference's
+    repeated DB overwrites)."""
     seen: dict[str, tuple[int, int]] = {}
     pending: list[_Pending] = []
     next_rank = 0
@@ -124,9 +130,10 @@ def crawl_oracle(
     for url, depth, _pr, _lp in seed_candidates:
         if not robots_allows(url, robots):
             continue
-        if url in seen:
+        if use_cache and url in seen:
             continue
-        seen[url] = (depth, next_rank)
+        if url not in seen:
+            seen[url] = (depth, next_rank)
         pending.append(_Pending(url, host_of(url), depth, next_rank))
         next_rank += 1
 
@@ -170,9 +177,10 @@ def crawl_oracle(
         candidates.sort(key=lambda c: (c[1], c[2], c[3]))
         newly: list[_Pending] = []
         for url, depth, _pr, _lp in candidates:
-            if url in seen:
+            if use_cache and url in seen:
                 continue
-            seen[url] = (depth, next_rank)
+            if url not in seen:
+                seen[url] = (depth, next_rank)
             newly.append(_Pending(url, host_of(url), depth, next_rank))
             next_rank += 1
 

@@ -77,6 +77,7 @@ class CrawlConfig:
     seen_shards: int = 8
     seen_mode: str = "exact"  # "exact" | "bloom"
     dedup_mode: str = "actor"  # "actor" (offer/harvest on shards) | "groupby"
+    use_cache: bool = True  # False = reference --no-cache: no claims at all
     bloom_bits: int = 1 << 24
     fetch_mode: str = "indexed"  # "indexed" (broadcast corpus, cached task fn)
     # | "indexed_actors" (same, actor pool) | "join" (hash join vs corpus)
@@ -86,6 +87,7 @@ class CrawlConfig:
     join_partitions: int = 8
     prewarm: bool = False  # pre-build the corpus index in every worker
     max_rounds: int | None = None  # stop after N rounds this call (resume later)
+    proxy: str | None = None  # validated eagerly (S2); a no-op in corpus mode
 
 
 @dataclass
@@ -175,7 +177,11 @@ def _decode_candidates(batch: pa.Table) -> pa.Table:
 
 
 def _seed_frontier(
-    seeds: list[str], shards: list, n_shards: int, robots: dict | None
+    seeds: list[str],
+    shards: list,
+    n_shards: int,
+    robots: dict | None,
+    use_cache: bool = True,
 ) -> tuple[pa.Table, str]:
     """Driver-side round-0 admission: canonical seed list, robots-gated,
     claimed in order (dense ranks from 0). Returns (frontier, start_url)."""
@@ -184,7 +190,7 @@ def _seed_frontier(
     seen_local: set[str] = set()
     for s in seeds:
         c = canonicalize(ensure_scheme(s))
-        if c in seen_local or not robots_allows(c, robots):
+        if (use_cache and c in seen_local) or not robots_allows(c, robots):
             continue
         seen_local.add(c)
         ordered.append(c)
@@ -211,6 +217,9 @@ def _seed_frontier(
 # checkpoints up to this many rows are collected and written by the driver
 # (zero extra Dataset executions); larger ones stream via write_parquet
 _SMALL_CHECKPOINT_ROWS = 200_000
+# rounds with at most this many candidates rank on the driver (a distributed
+# sort execution costs more than moving the few MB of frontier metadata)
+_SMALL_ROUND_ROWS = 100_000
 
 
 def _collect_tables(ds: Dataset) -> pa.Table | None:
@@ -329,6 +338,10 @@ def crawl(
     """Run (or resume) a crawl. See module docstring for the round anatomy."""
     cfg = replace(cfg or CrawlConfig(), **overrides)
     assert cfg.max_depth <= claim.MAX_DEPTH
+    if cfg.proxy is not None:
+        from spider_ray.config import validate_proxy
+
+        validate_proxy(cfg.proxy)  # S2: fail fast on bad proxy format
     os.makedirs(os.path.join(out_dir, "store"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "rounds"), exist_ok=True)
 
@@ -357,7 +370,9 @@ def crawl(
         crawled_cum = last["crawled_cum"]
         seed_tbl = None
     else:
-        seed_tbl, start_url = _seed_frontier(seeds, shards, cfg.seen_shards, cfg.robots)
+        seed_tbl, start_url = _seed_frontier(
+            seeds, shards, cfg.seen_shards, cfg.robots, cfg.use_cache
+        )
         parent_value = human_repr(start_url)
         pending = ray.data.from_arrow(seed_tbl).materialize()
         pending_count = seed_tbl.num_rows
@@ -401,7 +416,34 @@ def crawl(
         else:
             fetched = fetch_join(fetch_now, corpus_path, cfg.join_partitions)
 
-        if cfg.dedup_mode == "actor":
+        if not cfg.use_cache:
+            # --no-cache (use_cache.py:19-28): every candidate occurrence is
+            # admitted — no dedup, no seen claims; ordering still canonical
+            cand = fetched.map_batches(
+                make_parse_store_expand(
+                    start_url, parent_value, cfg.max_depth, store_dir
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size,
+                zero_copy_batch=True,
+            )
+            if robots_fn is not None:
+                cand = cand.map_batches(robots_fn, batch_format="pyarrow")
+            cand = cand.materialize()
+            t_parse = time.perf_counter() - t0
+            crawled_this = _store_rows_count(store_dir)
+            n_cand = cand.count()
+            t1 = time.perf_counter()
+            ranked, n_new = None, 0
+            if n_cand > 0:
+                ranked, n_new = assign_ranks(
+                    cand.sort("claim_key"),
+                    next_rank,
+                    col="rank",
+                    post_fn=_decode_candidates,
+                )
+            t_refill = time.perf_counter() - t1
+        elif cfg.dedup_mode == "actor":
             # ONE streaming execution for the whole round body: fetch →
             # parse → store-part write → robots gate → dedup+claim OFFER to
             # the seen shards (fused in expand.py). Only per-batch counts
@@ -430,15 +472,31 @@ def crawl(
             t1 = time.perf_counter()
             ranked, n_new = None, 0
             if n_cand > 0:
-                new = ray.data.from_arrow_refs(
-                    [s.harvest.remote(r + 1) for s in shards]
-                )
-                ranked, n_new = assign_ranks(
-                    new.sort("claim_key"),
-                    next_rank,
-                    col="rank",
-                    post_fn=_decode_candidates,
-                )
+                harvests = [s.harvest.remote(r + 1) for s in shards]
+                if n_cand <= _SMALL_ROUND_ROWS:
+                    # small round: sort+rank on the driver — a distributed
+                    # execution costs more than the data
+                    tbls = [t for t in ray.get(harvests) if t.num_rows]
+                    if tbls:
+                        tbl = pa.concat_tables(tbls)
+                        order = pa.compute.sort_indices(
+                            tbl, sort_keys=[("claim_key", "ascending")]
+                        )
+                        tbl = tbl.take(order)
+                        ranks = pa.array(
+                            np.arange(next_rank, next_rank + tbl.num_rows, dtype=np.int64)
+                        )
+                        tbl = _decode_candidates(tbl.append_column("rank", ranks))
+                        ranked = ray.data.from_arrow(tbl)
+                        n_new = tbl.num_rows
+                else:
+                    new = ray.data.from_arrow_refs(harvests)
+                    ranked, n_new = assign_ranks(
+                        new.sort("claim_key"),
+                        next_rank,
+                        col="rank",
+                        post_fn=_decode_candidates,
+                    )
             t_refill = time.perf_counter() - t1
         else:
             cand = fetched.map_batches(

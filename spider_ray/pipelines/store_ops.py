@@ -32,6 +32,19 @@ def catch(out_dir: str, parent_url: str, limit: int = 10) -> Dataset:
     )
 
 
+def catch_contains(out_dir: str, fragment: str, limit: int = 10) -> Dataset:
+    """The Redis backend's alternate lookup semantics: substring match over
+    keys, stop at limit (redis_database.py:108-134 ``SCAN MATCH *x*``).
+    Documented variant; ``catch`` (SQL equality) is canonical."""
+    ds = read_store(out_dir)
+    return (
+        ds.filter(lambda row: fragment in row["url"])
+        .sort("discovery_rank")
+        .limit(limit)
+        .select_columns(["url", "title"])
+    )
+
+
 def count_all(out_dir: str) -> int:
     """'cobweb count' (A1, postgres_database.py:184-200)."""
     return read_store(out_dir).count()
