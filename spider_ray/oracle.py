@@ -109,6 +109,7 @@ def crawl_oracle(
     per_host_budget: int | None = None,
     robots: dict[str, list[str]] | None = None,
     use_cache: bool = True,
+    host_budgets: dict[str, int] | None = None,
 ) -> OracleResult:
     """``use_cache=False`` reproduces ``--no-cache`` (use_cache.py:19-28 /
     cli.py:79-83): the claim check is bypassed entirely, so every candidate
@@ -139,14 +140,17 @@ def crawl_oracle(
 
     rnd = 0
     while pending:
-        # 1. politeness split
-        if per_host_budget is None:
+        # 1. politeness split (per-host override beats the global default;
+        # a host with neither is unthrottled)
+        if per_host_budget is None and not host_budgets:
             fetch_now, deferred = pending, []
         else:
+            overrides = host_budgets or {}
             taken: dict[str, int] = {}
             fetch_now, deferred = [], []
             for p in sorted(pending, key=lambda p: p.rank):
-                if taken.get(p.host, 0) < per_host_budget:
+                b = overrides.get(p.host, per_host_budget)
+                if b is None or taken.get(p.host, 0) < b:
                     taken[p.host] = taken.get(p.host, 0) + 1
                     fetch_now.append(p)
                 else:

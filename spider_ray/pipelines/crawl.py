@@ -73,7 +73,11 @@ FRONTIER_SCHEMA = pa.schema(
 class CrawlConfig:
     max_depth: int = 1
     per_host_budget: int | None = None
-    robots: dict[str, list[str]] | None = None
+    # robots: a rules dict (host → disallowed path prefixes) or the path of
+    # a robots parquet table (host, disallow_prefix, crawl_delay_ms) —
+    # crawl_delay_ms rows become per-host politeness budgets
+    robots: dict[str, list[str]] | str | None = None
+    host_budgets: dict[str, int] | None = None
     seen_shards: int = 8
     seen_mode: str = "exact"  # "exact" | "bloom"
     dedup_mode: str = "actor"  # "actor" (offer/harvest on shards) | "groupby"
@@ -215,11 +219,14 @@ def _seed_frontier(
 
 
 # checkpoints up to this many rows are collected and written by the driver
-# (zero extra Dataset executions); larger ones stream via write_parquet
-_SMALL_CHECKPOINT_ROWS = 200_000
-# rounds with at most this many candidates rank on the driver (a distributed
-# sort execution costs more than moving the few MB of frontier metadata)
-_SMALL_ROUND_ROWS = 100_000
+# (zero extra Dataset executions, overlapped with the next round); larger
+# ones stream via write_parquet
+_SMALL_CHECKPOINT_ROWS = 2_000_000
+# rounds with at most this many candidates rank on the driver — frontier
+# rows are ~100 B of metadata, so even 2M rows is ~200 MB moved once and a
+# sub-second driver sort, cheaper than a distributed sort execution; beyond
+# that the distributed sort+rank path takes over
+_SMALL_ROUND_ROWS = 2_000_000
 
 
 def _collect_tables(ds: Dataset) -> pa.Table | None:
@@ -345,11 +352,20 @@ def crawl(
     os.makedirs(os.path.join(out_dir, "store"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "rounds"), exist_ok=True)
 
+    if isinstance(cfg.robots, str):
+        # load (and fail on) the robots table before any actors exist
+        from spider_ray.robots import load_robots_table
+
+        rules, table_budgets = load_robots_table(cfg.robots)
+        cfg = replace(
+            cfg, robots=rules, host_budgets={**table_budgets, **(cfg.host_budgets or {})}
+        )
+    robots_fn = make_robots_filter(cfg.robots) if cfg.robots else None
+
     SeenActor = ray.remote(UrlSeenShard)
     shards = [
         SeenActor.remote(cfg.seen_mode, cfg.bloom_bits) for _ in range(cfg.seen_shards)
     ]
-    robots_fn = make_robots_filter(cfg.robots) if cfg.robots else None
     corpus_ref = (
         load_corpus_ref(corpus_path) if cfg.fetch_mode.startswith("indexed") else None
     )
@@ -389,7 +405,9 @@ def crawl(
         shutil.rmtree(store_dir, ignore_errors=True)  # crashed-attempt leftovers
         os.makedirs(store_dir)
 
-        fetch_now, deferred = politeness_split(pending, cfg.per_host_budget)
+        fetch_now, deferred = politeness_split(
+            pending, cfg.per_host_budget, cfg.host_budgets
+        )
         n_fetch = pending_count if deferred is None else fetch_now.count()
         n_defer = pending_count - n_fetch
 
@@ -413,6 +431,10 @@ def crawl(
                 cfg.fetch_batch_size,
                 actors=cfg.fetch_mode == "indexed_actors",
             )
+        elif cfg.fetch_mode == "partitioned":
+            from spider_ray.stages.fetch import fetch_partitioned
+
+            fetched = fetch_partitioned(fetch_now, corpus_path)
         else:
             fetched = fetch_join(fetch_now, corpus_path, cfg.join_partitions)
 

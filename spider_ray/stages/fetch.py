@@ -119,6 +119,34 @@ def fetch_indexed(
     )
 
 
+def fetch_partitioned(frontier: Dataset, corpus_path: str) -> Dataset:
+    """Scale path for corpora far larger than the cluster object store:
+    read ONLY the corpus files covering the frontier.
+
+    ``write_corpus`` lays the corpus out one file-set per host, so grouping
+    the frontier by host and filtering each host's lookup with a
+    ``min≤url≤max`` range + ``isin`` predicate lets parquet file/row-group
+    statistics prune everything the round doesn't touch — per-round I/O is
+    O(frontier's hosts), not O(corpus). This is the layout-aware pattern
+    that replaces the broadcast index at the 100 TB tier."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    def fetch_group(g: pd.DataFrame) -> pd.DataFrame:
+        urls = sorted(g["url"].tolist())
+        dset = pads.dataset(corpus_path)
+        flt = (
+            (pc.field("url") >= urls[0])
+            & (pc.field("url") <= urls[-1])
+            & pc.field("url").isin(urls)
+        )
+        t = dset.to_table(filter=flt, columns=["url", "html"])
+        m = t.to_pandas().merge(g[["url", "depth", "rank"]], on="url", how="inner")
+        return m[["url", "depth", "rank", "html"]]
+
+    return frontier.groupby("host").map_groups(fetch_group, batch_format="pandas")
+
+
 def fetch_join(frontier: Dataset, corpus_path: str, num_partitions: int) -> Dataset:
     """Hash-join fetch for corpora too big to broadcast."""
     pages = ray.data.read_parquet(corpus_path, columns=["url", "html"])

@@ -23,18 +23,26 @@ from ray.data import Dataset
 
 
 def politeness_split(
-    pending: Dataset, per_host_budget: int | None
+    pending: Dataset,
+    per_host_budget: int | None,
+    host_budgets: dict[str, int] | None = None,
 ) -> tuple[Dataset, Dataset]:
-    """→ (fetch_now, deferred). With no budget, everything fetches now."""
-    if per_host_budget is None:
+    """→ (fetch_now, deferred). With no budget at all, everything fetches
+    now. ``host_budgets`` (e.g. derived from robots crawl_delay_ms —
+    spider_ray.robots) overrides the global default per host; a host with
+    neither budget is unthrottled."""
+    if per_host_budget is None and not host_budgets:
         return pending, None
 
     budget = per_host_budget
+    overrides = host_budgets or {}
 
     def flag_group(g: pd.DataFrame) -> pd.DataFrame:
+        b = overrides.get(g["host"].iloc[0], budget)
         g = g.sort_values("rank")
-        g = g.assign(_fetch_now=False)
-        g.iloc[: min(budget, len(g)), g.columns.get_loc("_fetch_now")] = True
+        g = g.assign(_fetch_now=True)
+        if b is not None:
+            g.iloc[min(b, len(g)) :, g.columns.get_loc("_fetch_now")] = False
         return g
 
     flagged = pending.groupby("host").map_groups(flag_group, batch_format="pandas")

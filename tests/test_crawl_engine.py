@@ -116,6 +116,39 @@ def test_engine_join_fetch_mode(corpus_dir, corpus_dict, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_partitioned_fetch_mode(corpus_dir, corpus_dict, tmp_path):
+    res, store = _run_engine(corpus_dir, tmp_path, max_depth=1, fetch_mode="partitioned")
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=1)
+    _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_robots_table_with_budgets(corpus_dir, corpus_dict, tmp_path):
+    from spider_ray.robots import load_robots_table, write_robots_table
+
+    path = write_robots_table(
+        str(tmp_path / "robots.parquet"),
+        rules={"h1.example": [""], "h2.example": ["/p1"]},
+        delays_ms={"h0.example": 30_000},  # → budget 2/round
+    )
+    rules, budgets = load_robots_table(path)
+    assert budgets == {"h0.example": 2}
+    res, store = _run_engine(
+        corpus_dir, tmp_path, max_depth=2, robots=path, per_host_budget=5
+    )
+    oracle = crawl_oracle(
+        corpus_dict,
+        SEEDS,
+        max_depth=2,
+        robots=rules,
+        per_host_budget=5,
+        host_budgets=budgets,
+    )
+    _assert_matches_oracle(res, store, oracle)
+    assert not any(u.startswith("https://h1.example") for u in store["url"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bloom_mode_no_false_negatives(corpus_dir, corpus_dict, tmp_path):
     # bloom sized generously → no FPs at this scale → identical to exact
     res, store = _run_engine(
