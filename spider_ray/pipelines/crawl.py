@@ -6,27 +6,32 @@ recursion (crawler.py:92-119) becomes a driver loop over BFS rounds where
 each round is one streaming Dataset pipeline:
 
   pending frontier (materialized; url, host, depth, rank)
-    → politeness_split                    [per-host budget, deferral]
-    → fetch (actor pool | hash join)      [corpus lookup = "HTTP GET"]
-    → parse + store-write + link-expand   [single heavy map_batches pass]
-    → robots filter
-    → groupby(url).min(claim_key)         [shuffle 1: first-wins dedup]
-    → seen-shard filter (actor state)     [claim; misses of prior rounds out]
-    → sort(claim_key) + dense rank        [shuffle 2: canonical ordering]
+    → politeness_split                      [per-host budgets, deferral]
+    → ONE streaming execution:              [dedup_mode="actor", default]
+        fetch (broadcast index | partitioned read | hash join)
+        → parse + store-part write + robots gate
+        → dedup+claim OFFER to seen shards  [all-to-all = url-hash routing]
+    → HARVEST winners per shard → sort(claim_key) + dense rank
+      (driver-side under 2M rows, distributed sort+rank beyond)
     → union with deferred → next pending
+
+(dedup_mode="groupby" keeps the equivalent Dataset-native pipeline:
+candidates as rows → groupby(url).min(claim_key) → seen-shard filter →
+sort+rank — same semantics, tested equal; the actor path exists because the
+string-key groupby shuffle measured ~6× slower at 10^6 candidates/round.)
 
 Scale notes (the 100 TB / 10^10-URL design point):
 - Only frontier METADATA (url + 3 ints) is ever materialized or shuffled;
   page bodies stream through fetch→parse→parquet inside one pass and are
   never held beyond a batch.
-- Both shuffles are per-round and frontier-sized, not corpus-sized.
-- The seen state is K hash-partitioned actors (exact or bloom), checkpointed
-  incrementally: each round persists only that round's newly claimed URLs;
-  restore replays the claim files — O(total) once at resume, O(round) per
-  checkpoint.
-- Rounds promote atomically (write to ``rounds/.rXXXX.tmp``, rename), so a
-  killed job resumes from the last complete round and reproduces the exact
-  same final store (tested in tests/test_resume.py).
+- All per-round data movement is frontier-sized, never corpus-sized.
+- The seen state is K hash-partitioned actors (exact or bloom); its lineage
+  is the seeds file + the union of per-round frontier checkpoints (every
+  claimed url is pending at the end of its claim round), replayed on resume.
+- Rounds promote atomically (write to ``rounds/.rXXXX.tmp``, rename; the
+  checkpoint writer thread is serialized so promotion order is strict), so
+  a killed job resumes from the last complete round and reproduces the
+  byte-identical final store (tested in tests/test_resume.py).
 """
 
 from __future__ import annotations
@@ -121,33 +126,6 @@ def _store_rows_count(store_dir: str) -> int:
         pq.read_metadata(p).num_rows
         for p in glob.glob(os.path.join(store_dir, "*.parquet"))
     )
-
-
-def make_offer_fn(shards: list, round_id: int, n_shards: int):
-    """Phase A of the fused dedup+claim (UrlSeenShard.offer): route each
-    candidate (url, claim_key) to its shard. Returns per-batch counts only —
-    the data lands in shard state, harvested after the barrier."""
-
-    def offer(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n:
-            urls = batch.column("url").to_pylist()
-            keys = batch.column("claim_key").to_pylist()
-            by_shard: dict[int, tuple[list, list]] = {}
-            for u, k in zip(urls, keys):
-                s = shard_of(u, n_shards)
-                e = by_shard.get(s)
-                if e is None:
-                    e = ([], [])
-                    by_shard[s] = e
-                e[0].append(u)
-                e[1].append(k)
-            ray.get(
-                [shards[s].offer.remote(round_id, us, ks) for s, (us, ks) in by_shard.items()]
-            )
-        return pa.table({"n": pa.array([n], pa.int64())})
-
-    return offer
 
 
 def make_seen_filter(shards: list, round_id: int, n_shards: int):
