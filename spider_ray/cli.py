@@ -117,17 +117,58 @@ def _dispatch(args, config) -> int:
             raw = config.get_infrastructure_config("concurrency_limit")
             budget = int(raw) if raw else None
         t0 = time.perf_counter()
-        res = crawl(
-            args.corpus,
-            [args.url],
-            args.out,
+        kw = dict(
             max_depth=args.depth,
             per_host_budget=budget,
             use_cache=args.cache,
             robots=args.robots,
             proxy=proxy,
-            resume=args.resume,
         )
+
+        import glob
+        import os
+        import shutil
+
+        from spider_ray.pipelines.crawl import read_store
+
+        has_store = not args.resume and read_store(args.out).count() > 0 if (
+            os.path.exists(os.path.join(args.out, "store"))
+        ) else False
+        if has_store:
+            # RE-crawl over an existing store: crawl into a scratch dir and
+            # reconcile with the reference's upsert semantics — overwrite
+            # keeps the new rows, --no-overwrite keeps the old ones
+            # (postgres_database.py:162-182); rows only one side has are
+            # always kept. The old checkpoints belong to the old run.
+            scratch = args.out + ".recrawl"
+            merged = args.out + ".merged"
+            shutil.rmtree(scratch, ignore_errors=True)
+            shutil.rmtree(merged, ignore_errors=True)
+            res = crawl(args.corpus, [args.url], scratch, **kw)
+            from spider_ray.pipelines import store_ops as so
+
+            so.reconcile_stores(args.out, scratch, merged, overwrite=args.overwrite)
+            shutil.rmtree(os.path.join(args.out, "store"))
+            dest = os.path.join(args.out, "store", "r0000")
+            os.makedirs(dest)
+            for f in glob.glob(os.path.join(merged, "*.parquet")):
+                shutil.move(f, dest)
+            shutil.rmtree(os.path.join(args.out, "rounds"), ignore_errors=True)
+            shutil.rmtree(scratch, ignore_errors=True)
+            shutil.rmtree(merged, ignore_errors=True)
+        else:
+            res = crawl(args.corpus, [args.url], args.out, resume=args.resume, **kw)
+
+        if args.db_type and args.db_type != "parquet":
+            from spider_ray.sinks import get_sink
+
+            sink = get_sink(args.db_type)
+            export_dir = os.path.join(args.out, f"export-{sink.verbose}")
+            shutil.rmtree(export_dir, ignore_errors=True)
+            sink.write(read_store(args.out), export_dir)
+            if not args.silent:
+                print(f"Exported store via {sink.verbose} sink to {export_dir}")
+
         if not args.silent:
             msg = f"Done. (crawled: {res.crawled}, total calls: {res.total_calls})"
             if args.log_time:

@@ -54,13 +54,14 @@ _BASE_TS = datetime(2024, 1, 1)
 
 
 def host_page_counts(n_pages: int, n_hosts: int, hot_share: float = 0.5) -> list[int]:
-    """Pages per host; host 0 is hot."""
+    """Pages per host; host 0 is hot (gets everything when n_hosts == 1)."""
+    if n_hosts == 1:
+        return [n_pages]
     n0 = max(1, int(n_pages * hot_share))
     rest = n_pages - n0
     counts = [n0]
-    if n_hosts > 1:
-        base, extra = divmod(rest, n_hosts - 1)
-        counts += [base + (1 if i < extra else 0) for i in range(n_hosts - 1)]
+    base, extra = divmod(rest, n_hosts - 1)
+    counts += [base + (1 if i < extra else 0) for i in range(n_hosts - 1)]
     return counts
 
 

@@ -51,7 +51,9 @@ def brute_topk(sf_dir: str, k: int = 10, query_id: int = 0) -> Dataset:
     q_ref = ray.put(q)
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        qv = ray.get(q_ref)
+        from spider_ray.stages.broadcast import get_broadcast
+
+        qv = get_broadcast(q_ref)
         m = _to_matrix(batch)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         cos = m @ qv
@@ -88,7 +90,9 @@ def lsh_topk(sf_dir: str, k: int = 10, query_id: int = 0, probe_hamming: int = 1
     q_ref = ray.put((q, planes, allowed))
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        qv, pl, ok = ray.get(q_ref)
+        from spider_ray.stages.broadcast import get_broadcast
+
+        qv, pl, ok = get_broadcast(q_ref)
         m = _to_matrix(batch)
         norm = m / np.linalg.norm(m, axis=1, keepdims=True)
         buckets = _bucket_of(norm, pl)

@@ -327,6 +327,17 @@ def crawl(
         from spider_ray.config import validate_proxy
 
         validate_proxy(cfg.proxy)  # S2: fail fast on bad proxy format
+    if cfg.per_host_budget is not None and cfg.per_host_budget < 1:
+        raise ValueError(
+            "per_host_budget must be >= 1 (0 would defer every URL forever — "
+            "the reference's Semaphore(0) hangs the same way, crawler.py:82)"
+        )
+    if not resume:
+        # a fresh crawl owns the whole out_dir: stale store/rounds dirs from
+        # an earlier (possibly deeper) run would otherwise leak into
+        # read_store() and hijack a later --resume
+        shutil.rmtree(os.path.join(out_dir, "store"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "rounds"), ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "store"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "rounds"), exist_ok=True)
 
@@ -615,6 +626,10 @@ def read_store(out_dir: str, canonical_order: bool = False) -> Dataset:
     """The crawl output as a Dataset (the reference's ``url`` table,
     schema.py:11-19, with text inline instead of side files)."""
     files = sorted(glob.glob(os.path.join(out_dir, "store", "r[0-9]*", "*.parquet")))
+    if not files:  # empty store (e.g. freshly 'cobweb create'd) → empty table
+        from spider_ray.stages.expand import STORE_SCHEMA
+
+        return ray.data.from_arrow(STORE_SCHEMA.empty_table())
     ds = ray.data.read_parquet(files)
     if canonical_order:
         ds = ds.sort(["depth", "discovery_rank"])

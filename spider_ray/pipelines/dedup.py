@@ -108,9 +108,7 @@ def minhash_lsh_pairs(
         texts_tbl = pq.read_table(
             os.path.join(docs, "documents.parquet"), columns=["doc_id", "text"]
         )
-        docs = ray.data.read_parquet(
-            os.path.join(docs, "documents.parquet"), columns=["doc_id", "text"]
-        )
+        docs = ray.data.from_arrow(texts_tbl)  # reuse the one read
     else:
         texts_tbl = pa.concat_tables(
             ray.get(list(docs.to_arrow_refs()))
@@ -148,7 +146,9 @@ def minhash_lsh_pairs(
     thr = jaccard_threshold
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
+        from spider_ray.stages.broadcast import get_broadcast
+
+        texts = get_broadcast(texts_ref)  # deserialized once per worker
         rows = []
         for a, b in zip(batch["doc_a"], batch["doc_b"]):
             sa, sb = shingle_set(texts[a]), shingle_set(texts[b])

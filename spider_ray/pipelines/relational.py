@@ -122,7 +122,9 @@ def orders_by_segment(sf_dir: str) -> Dataset:
     )
 
     def join_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
+        from spider_ray.stages.broadcast import get_broadcast
+
+        lookup = get_broadcast(lookup_ref)  # deserialized once per worker
         batch = batch.assign(
             mktsegment=batch["o_custkey"].map(lookup),
             total_c=_cents(batch["o_totalprice"].to_numpy()),

@@ -22,10 +22,18 @@ def catch(out_dir: str, parent_url: str, limit: int = 10) -> Dataset:
     postgres_database.py:144-160). The lookup key is normalized exactly like
     the reference (``URL(url).human_repr()``, db_ops_controller.py:59);
     ordered by discovery_rank for a deterministic LIMIT."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     key = human_repr(canonicalize(ensure_scheme(parent_url)))
     ds = read_store(out_dir)
+    # vectorized equality filter — NOT an interpolated expr string (the key
+    # is percent-DECODED, so it can legally contain quotes/spaces)
     return (
-        ds.filter(expr=f"parent == '{key}'")
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t["parent"], pa.scalar(key))),
+            batch_format="pyarrow",
+        )
         .sort("discovery_rank")
         .limit(limit)
         .select_columns(["url", "title"])

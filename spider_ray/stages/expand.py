@@ -57,20 +57,16 @@ COUNTS_SCHEMA = pa.schema([("crawled", pa.int64()), ("candidates", pa.int64())])
 
 
 def _robots_keep(urls: list[str], keys: list[int], rules) -> tuple[list[str], list[int]]:
-    """Inline robots gate over canonical candidate urls (same semantics as
-    make_robots_filter, applied before the rows exist)."""
-    from urllib.parse import urlsplit
+    """Inline robots gate over canonical candidate urls. Delegates to the
+    oracle's ``robots_allows`` — ONE rule implementation shared by engine
+    and spec, so they cannot drift."""
+    from spider_ray.oracle import robots_allows
 
     ku, kk = [], []
     for u, k in zip(urls, keys):
-        s = urlsplit(u)
-        prefixes = rules.get(s.hostname.lower() if s.hostname else "")
-        if prefixes:
-            path = s.path or "/"
-            if any(path.startswith(p) for p in prefixes):
-                continue
-        ku.append(u)
-        kk.append(k)
+        if robots_allows(u, rules):
+            ku.append(u)
+            kk.append(k)
     return ku, kk
 
 
@@ -169,13 +165,14 @@ def make_parse_store_expand(
     return parse_store_expand
 
 
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/?#]+)"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(?P<host>[^/?#:@]+)"
 
 
 def add_host_column(batch: pa.Table, url_col: str = "url") -> pa.Table:
-    """Vectorized host extraction (canonical URLs: host already lower-case,
-    no default port). Port, if any, is kept — it is part of the politeness
-    identity of a nonstandard-port site."""
+    """Vectorized host extraction matching ``canonical.host_of`` exactly
+    (lower-case, NO port, no userinfo) — the politeness/budget identity must
+    be one key everywhere: seeds, candidates, robots rules and the oracle
+    all use the portless host."""
     import pyarrow.compute as pc
 
     m = pc.extract_regex(batch.column(url_col), _HOST_RE)
@@ -189,21 +186,14 @@ def make_robots_filter(rules: dict[str, list[str]]):
     ``rules``: host → list of disallowed path prefixes ('' = everything).
     The rules table is a closure constant — broadcast once with the function
     object, never re-shipped per batch (it is a small per-host table even at
-    web scale; a 10^8-host rule set would move to a ``ray.put`` handle)."""
-    from urllib.parse import urlsplit
+    web scale; a 10^8-host rule set would move to a ``ray.put`` handle).
+    Delegates to the oracle's ``robots_allows`` so the spec cannot drift."""
+    from spider_ray.oracle import robots_allows
 
     def robots_filter(batch: pa.Table) -> pa.Table:
         if not rules or batch.num_rows == 0:
             return batch
-        keep = []
-        for u in batch.column("url").to_pylist():
-            s = urlsplit(u)
-            prefixes = rules.get(s.hostname.lower() if s.hostname else "")
-            if not prefixes:
-                keep.append(True)
-            else:
-                path = s.path or "/"
-                keep.append(not any(path.startswith(p) for p in prefixes))
+        keep = [robots_allows(u, rules) for u in batch.column("url").to_pylist()]
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return robots_filter
