@@ -57,6 +57,7 @@ QUERIES = {
     "sessionize": relational.sessionize,
     # text analysis
     "token_counts": textops.token_counts,
+    "bpe_token_counts": textops.bpe_token_counts,
     "doc_fingerprints": textops.doc_fingerprints,
     "quality_scores": textops.quality_scores,
     "lang_confusion": textops.lang_confusion,
@@ -122,6 +123,12 @@ ORACLE_SQL = {
     "token_counts": (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "
         "AS n_tokens FROM documents"
+    ),
+    "bpe_token_counts": (
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "
+        "AS n_ws_tokens, CAST(len(regexp_extract_all(text, "
+        r"'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'"
+        ")) AS BIGINT) AS n_bpe_tokens FROM documents"
     ),
     "doc_fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
     "quality_scores": (

@@ -31,6 +31,10 @@ from ray.data import Dataset
 from ray.data.aggregate import Count
 
 TOKEN_RE = r"\S+"
+# GPT-2-style pre-tokenizer, simplified to be RE2-compatible (no lookahead):
+# contractions, letter runs, digit runs, punctuation runs, whitespace runs —
+# the "BPE-ish" token estimate used for budget accounting
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 PUNCT_RE = r"[.,;:!?]"
 STOP_RE = r"\b(?:the|and|of|to|in|a|is)\b"
 
@@ -54,6 +58,22 @@ def token_counts(sf_dir: str) -> Dataset:
             {
                 "doc_id": batch["doc_id"],
                 "n_tokens": batch["text"].str.count(TOKEN_RE).astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def bpe_token_counts(sf_dir: str) -> Dataset:
+    """BPE-ish token estimate per doc (whitespace count + sub-word-ish
+    pattern count) — the budget-accounting pair of ``token_counts``."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": batch["text"].str.count(TOKEN_RE).astype(np.int64),
+                "n_bpe_tokens": batch["text"].str.count(BPE_RE).astype(np.int64),
             }
         )
 
