@@ -68,6 +68,71 @@ def brute_topk(sf_dir: str, k: int = 10, query_id: int = 0) -> Dataset:
     return ray.data.from_pandas(out)
 
 
+_IVF_SEED = 11
+
+
+def train_ivf_centroids(
+    sf_dir: str, n_clusters: int = 16, sample: int = 2048, iters: int = 10
+) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample — the coarse
+    quantizer of an IVF index. At the 100 TB tier the sample is a
+    ``random_sample`` of the embedding dataset; centroid training stays a
+    driver-side numpy loop either way (centroids are tiny)."""
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.RandomState(_IVF_SEED)
+    idx = rng.choice(len(m), size=min(sample, len(m)), replace=False)
+    x = m[idx]
+    cent = x[rng.choice(len(x), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)  # cosine on unit vectors
+        for c in range(n_clusters):
+            mask = assign == c
+            if mask.any():
+                v = x[mask].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+def ivf_topk(
+    sf_dir: str, k: int = 10, query_id: int = 0, nprobe: int = 4, n_clusters: int = 16
+) -> pd.DataFrame:
+    """IVF approximate top-k: scan only the ``nprobe`` clusters nearest the
+    query. Centroids are broadcast; every batch assigns its vectors to
+    clusters (one matmul) and scores only the rows in probed clusters —
+    per-batch work shrinks by ~nprobe/n_clusters at scale (a real IVF
+    pre-partitions the corpus by cluster id at ingest so non-probed
+    clusters are never read at all; this is the streaming version)."""
+    cent = train_ivf_centroids(sf_dir, n_clusters)
+    q = query_vector(sf_dir, query_id)
+    q = q / np.linalg.norm(q)
+    probe_set = set(np.argsort(-(cent @ q))[:nprobe].tolist())
+    ref = ray.put((q, cent, probe_set))
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        qv, c, ok = get_broadcast(ref)
+        m = _to_matrix(batch)
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assign = (norm @ c.T).argmax(axis=1)
+        keep = np.isin(assign, list(ok))
+        if not keep.any():
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64), "cos": pd.Series([], dtype=np.float64)}
+            )
+        cos = norm[keep] @ qv
+        ids = batch["vec_id"].to_numpy()[keep]
+        order = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame({"vec_id": ids[order].astype(np.int64), "cos": cos[order]})
+
+    partials = _emb(sf_dir).map_batches(scan, batch_format="pandas", batch_size=8192)
+    merged = partials.to_pandas()
+    order = np.lexsort((merged["vec_id"].to_numpy(), -merged["cos"].to_numpy()))[:k]
+    return merged.iloc[order].reset_index(drop=True)
+
+
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     signs = (m @ planes.T) > 0
     return (signs << np.arange(planes.shape[0])).sum(axis=1).astype(np.int64)

@@ -67,6 +67,7 @@ QUERIES = {
     "simhash_table": dedup.simhash_table,
     "embedding_near_dup": dedup.embedding_near_dup_pairs,
     "embedding_topk": ann.brute_topk,
+    "embedding_topk_ivf": ann.ivf_topk,  # approximate → rows-only check
     # multimodal plumbing
     "payload_bytes": multimodal.payload_bytes,
     "image_meta_stub": multimodal.image_meta_stub,

@@ -66,6 +66,26 @@ def drop_store(out_dir: str) -> None:
     shutil.rmtree(os.path.join(out_dir, "rounds"), ignore_errors=True)
 
 
+def compact_store(out_dir: str, target_rows_per_file: int = 500_000) -> int:
+    """Maintenance op: rewrite the store's many per-round/per-task part
+    files into few large files (long crawls produce thousands of small
+    parquet parts — a read-amplification problem at scale). Atomic swap:
+    compacted files land in a tmp dir which replaces ``store/`` wholesale
+    (as ``r0000``, preserving the read layout). Returns the row count."""
+    ds = read_store(out_dir)
+    n = ds.count()
+    if n == 0:
+        return 0
+    tmp = os.path.join(out_dir, ".compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp, min_rows_per_file=target_rows_per_file)
+    store = os.path.join(out_dir, "store")
+    shutil.rmtree(store)
+    os.makedirs(store)
+    os.replace(tmp, os.path.join(store, "r0000"))
+    return n
+
+
 def reconcile_stores(old_dir: str, new_dir: str, out_path: str, overwrite: bool = True) -> Dataset:
     """Cross-run upsert (S3): re-crawl reconciliation with the reference's
     overwrite flag semantics (postgres_database.py:104-142,162-182 —

@@ -81,6 +81,22 @@ def test_lsh_topk_recall_vs_brute():
     assert r_wide >= max(r_narrow, 0.4)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_recall_vs_brute():
+    from spider_ray.pipelines.ann import brute_topk, ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = brute_topk(sf, k=10).to_pandas()["vec_id"].tolist()
+    narrow = ivf_topk(sf, k=10, nprobe=2)["vec_id"].tolist()
+    wide = ivf_topk(sf, k=10, nprobe=8)["vec_id"].tolist()
+    # the query's own cluster is always probed → rank-1 is always found;
+    # recall grows with nprobe (nprobe == n_clusters/2 scans half the data)
+    assert exact[0] == 0 and narrow[0] == 0 and wide[0] == 0
+    r_narrow = len(set(exact) & set(narrow)) / 10
+    r_wide = len(set(exact) & set(wide)) / 10
+    assert r_wide >= max(r_narrow, 0.5)
+
+
 def test_fake_decoder_smoke():
     import pyarrow as pa
 

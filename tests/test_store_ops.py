@@ -68,6 +68,25 @@ def test_reconcile_overwrite_semantics(crawled):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_compact_store(crawled):
+    import glob
+    import os
+
+    from spider_ray.pipelines.crawl import read_store
+    from spider_ray.pipelines.store_ops import compact_store
+
+    _, out, _ = crawled
+    before = read_store(out, canonical_order=True).to_pandas()
+    n_files_before = len(glob.glob(os.path.join(out, "store", "r*", "*.parquet")))
+    n = compact_store(out)
+    after = read_store(out, canonical_order=True).to_pandas()
+    n_files_after = len(glob.glob(os.path.join(out, "store", "r*", "*.parquet")))
+    assert n == len(before)
+    assert after.equals(before)
+    assert n_files_after <= n_files_before
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_drop_store(tmp_path):
     import os
 
