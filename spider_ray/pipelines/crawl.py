@@ -74,6 +74,17 @@ FRONTIER_SCHEMA = pa.schema(
 )
 
 
+# checkpoints up to this many rows are collected and written by the driver
+# (zero extra Dataset executions, overlapped with the next round); larger
+# ones stream via write_parquet
+_SMALL_CHECKPOINT_ROWS = 2_000_000
+# rounds with at most this many candidates rank on the driver — frontier
+# rows are ~100 B of metadata, so even 2M rows is ~200 MB moved once and a
+# sub-second driver sort, cheaper than a distributed sort execution; beyond
+# that the distributed sort+rank path takes over
+_SMALL_ROUND_ROWS = 2_000_000
+
+
 @dataclass
 class CrawlConfig:
     max_depth: int = 1
@@ -95,6 +106,11 @@ class CrawlConfig:
     parse_batch_size: int = 256
     join_partitions: int = 8
     prewarm: bool = False  # pre-build the corpus index in every worker
+    # rows under these thresholds are ranked / checkpointed on the driver
+    # (cheap metadata moves); above them the distributed sort+rank and
+    # streaming write_parquet paths take over (see module constants)
+    small_round_rows: int = _SMALL_ROUND_ROWS
+    small_checkpoint_rows: int = _SMALL_CHECKPOINT_ROWS
     max_rounds: int | None = None  # stop after N rounds this call (resume later)
     proxy: str | None = None  # validated eagerly (S2); a no-op in corpus mode
 
@@ -196,15 +212,6 @@ def _seed_frontier(
     return tbl, start_url
 
 
-# checkpoints up to this many rows are collected and written by the driver
-# (zero extra Dataset executions, overlapped with the next round); larger
-# ones stream via write_parquet
-_SMALL_CHECKPOINT_ROWS = 2_000_000
-# rounds with at most this many candidates rank on the driver — frontier
-# rows are ~100 B of metadata, so even 2M rows is ~200 MB moved once and a
-# sub-second driver sort, cheaper than a distributed sort execution; beyond
-# that the distributed sort+rank path takes over
-_SMALL_ROUND_ROWS = 2_000_000
 
 
 def _collect_tables(ds: Dataset) -> pa.Table | None:
@@ -484,7 +491,7 @@ def crawl(
             ranked, n_new = None, 0
             if n_cand > 0:
                 harvests = [s.harvest.remote(r + 1) for s in shards]
-                if n_cand <= _SMALL_ROUND_ROWS:
+                if n_cand <= cfg.small_round_rows:
                     # small round: sort+rank on the driver — a distributed
                     # execution costs more than the data
                     tbls = [t for t in ray.get(harvests) if t.num_rows]
@@ -583,7 +590,7 @@ def crawl(
         # on rounds/rK existing for every K < last
         if pending_count == 0:
             p_tbls, p_big = [], None
-        elif pending_count <= _SMALL_CHECKPOINT_ROWS:
+        elif pending_count <= cfg.small_checkpoint_rows:
             p_tbls = [t for p in parts for t in [_collect_tables(p)] if t is not None]
             p_big = None
         else:

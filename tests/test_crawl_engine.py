@@ -149,6 +149,34 @@ def test_engine_robots_table_with_budgets(corpus_dir, corpus_dict, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_distributed_rank_and_big_checkpoint_paths(corpus_dir, corpus_dict, tmp_path):
+    # force the >threshold branches: distributed sort+rank for every round
+    # and streaming write_parquet checkpoints — must be byte-equivalent to
+    # the driver-side fast paths (and resume from a ray-written frontier)
+    res, store = _run_engine(
+        corpus_dir, tmp_path, max_depth=2, small_round_rows=1, small_checkpoint_rows=1
+    )
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
+    _assert_matches_oracle(res, store, oracle)
+
+    from spider_ray.pipelines.crawl import crawl, read_store
+
+    out2 = str(tmp_path / "big_resume")
+    part = crawl(
+        corpus_dir, SEEDS, out2, max_depth=2,
+        small_round_rows=1, small_checkpoint_rows=1, max_rounds=1,
+    )
+    assert not part.finished
+    resumed = crawl(
+        corpus_dir, SEEDS, out2, max_depth=2,
+        small_round_rows=1, small_checkpoint_rows=1, resume=True,
+    )
+    assert resumed.finished
+    df = read_store(out2, canonical_order=True).to_pandas()
+    assert df["url"].tolist() == oracle.canonical_order()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bloom_mode_no_false_negatives(corpus_dir, corpus_dict, tmp_path):
     # bloom sized generously → no FPs at this scale → identical to exact
     res, store = _run_engine(
