@@ -157,7 +157,11 @@ def _dispatch(args, config) -> int:
             shutil.rmtree(scratch, ignore_errors=True)
             shutil.rmtree(merged, ignore_errors=True)
         else:
-            res = crawl(args.corpus, [args.url], args.out, resume=args.resume, **kw)
+            try:
+                res = crawl(args.corpus, [args.url], args.out, resume=args.resume, **kw)
+            except RuntimeError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
 
         if args.db_type and args.db_type != "parquet":
             from spider_ray.sinks import get_sink

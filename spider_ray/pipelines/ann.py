@@ -72,18 +72,27 @@ _IVF_SEED = 11
 
 
 def train_ivf_centroids(
-    sf_dir: str, n_clusters: int = 16, sample: int = 2048, iters: int = 10
+    sf_dir: str,
+    n_clusters: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    matrix: np.ndarray | None = None,
 ) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample — the coarse
     quantizer of an IVF index. At the 100 TB tier the sample is a
     ``random_sample`` of the embedding dataset; centroid training stays a
-    driver-side numpy loop either way (centroids are tiny)."""
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    driver-side numpy loop either way (centroids are tiny). Pass ``matrix``
+    (already unit-normalized) to reuse a table the caller has read."""
+    if matrix is None:
+        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    else:
+        m = matrix
     rng = np.random.RandomState(_IVF_SEED)
     idx = rng.choice(len(m), size=min(sample, len(m)), replace=False)
     x = m[idx]
+    n_clusters = min(n_clusters, len(x))  # tiny corpora: ≤1 point per cluster
     cent = x[rng.choice(len(x), size=n_clusters, replace=False)]
     for _ in range(iters):
         assign = (x @ cent.T).argmax(axis=1)  # cosine on unit vectors
@@ -104,9 +113,13 @@ def ivf_topk(
     per-batch work shrinks by ~nprobe/n_clusters at scale (a real IVF
     pre-partitions the corpus by cluster id at ingest so non-probed
     clusters are never read at all; this is the streaming version)."""
-    cent = train_ivf_centroids(sf_dir, n_clusters)
-    q = query_vector(sf_dir, query_id)
-    q = q / np.linalg.norm(q)
+    # one driver-side read serves the query vector AND centroid training
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qi = tbl.column("vec_id").to_pylist().index(query_id)
+    q = m[qi]
+    cent = train_ivf_centroids(sf_dir, n_clusters, matrix=m)
     probe_set = set(np.argsort(-(cent @ q))[:nprobe].tolist())
     ref = ray.put((q, cent, probe_set))
 
@@ -142,9 +155,8 @@ def lsh_topk(sf_dir: str, k: int = 10, query_id: int = 0, probe_hamming: int = 1
     """Approximate top-k: scan only embeddings whose LSH bucket is within
     ``probe_hamming`` bit flips of the query's bucket."""
     rng = np.random.RandomState(_PLANES_SEED)
-    dim = query_vector(sf_dir, query_id).shape[0]
-    planes = rng.standard_normal((_N_PLANES, dim))
-    q = query_vector(sf_dir, query_id)
+    q = query_vector(sf_dir, query_id)  # one read serves dim + query
+    planes = rng.standard_normal((_N_PLANES, q.shape[0]))
     q = q / np.linalg.norm(q)
     qb = int(_bucket_of(q[None, :], planes)[0])
     allowed = {

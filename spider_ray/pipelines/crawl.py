@@ -263,6 +263,28 @@ def _checkpoint_round(
     os.replace(tmp, final)
 
 
+class _CheckpointThread(threading.Thread):
+    """Checkpoint writer whose failure is NOT silent: a swallowed write
+    error would let later rounds promote past a missing one, and resume's
+    claim replay (which globs every round dir) would silently rebuild an
+    incomplete seen set. join_and_raise re-raises in the driver."""
+
+    def __init__(self, *args):
+        super().__init__(target=self._run, args=args)
+        self.error: BaseException | None = None
+
+    def _run(self, *args):
+        try:
+            _checkpoint_round(*args)
+        except BaseException as e:  # noqa: BLE001 — must reach the driver
+            self.error = e
+
+    def join_and_raise(self):
+        self.join()
+        if self.error is not None:
+            raise RuntimeError("checkpoint write failed") from self.error
+
+
 def _union_parts(parts: list[Dataset]) -> Dataset | None:
     if not parts:
         return None
@@ -273,10 +295,11 @@ def _union_parts(parts: list[Dataset]) -> Dataset | None:
 
 
 def _find_last_complete_round(out_dir: str) -> int | None:
-    rounds = sorted(glob.glob(os.path.join(out_dir, "rounds", "r[0-9]*")))
+    rounds = glob.glob(os.path.join(out_dir, "rounds", "r[0-9]*"))
     if not rounds:
         return None
-    return int(os.path.basename(rounds[-1])[1:])
+    # numeric max — lexicographic sort breaks past round 9999 (r10000 < r9999)
+    return max(int(os.path.basename(r)[1:]) for r in rounds)
 
 
 def _restore(
@@ -285,7 +308,12 @@ def _restore(
     """Rebuild seen state + pending frontier + counters from the last
     complete round's checkpoint (claims replayed across ALL rounds)."""
     last = _find_last_complete_round(out_dir)
-    assert last is not None, "nothing to resume from"
+    if last is None:
+        raise RuntimeError(
+            f"nothing to resume from: no complete round checkpoints under "
+            f"{os.path.join(out_dir, 'rounds')} (a re-crawl reconcile discards "
+            f"old checkpoints — run without --resume)"
+        )
     # clean partial work from a crashed round last+1
     shutil.rmtree(_store_round_dir(out_dir, last + 1), ignore_errors=True)
     for t in glob.glob(os.path.join(out_dir, "rounds", ".r*.tmp")):
@@ -353,9 +381,17 @@ def crawl(
         from spider_ray.robots import load_robots_table
 
         rules, table_budgets = load_robots_table(cfg.robots)
+        # robots-derived budgets may only TIGHTEN the user's global cap,
+        # never loosen it; explicit cfg.host_budgets entries win outright
+        if cfg.per_host_budget is not None:
+            table_budgets = {
+                h: min(b, cfg.per_host_budget) for h, b in table_budgets.items()
+            }
         cfg = replace(
             cfg, robots=rules, host_budgets={**table_budgets, **(cfg.host_budgets or {})}
         )
+    if cfg.host_budgets and any(b < 1 for b in cfg.host_budgets.values()):
+        raise ValueError("host_budgets values must be >= 1 (0 defers forever)")
     robots_fn = make_robots_filter(cfg.robots) if cfg.robots else None
 
     SeenActor = ray.remote(UrlSeenShard)
@@ -596,18 +632,15 @@ def crawl(
         else:
             p_tbls, p_big = [], _union_parts(parts)
         if ckpt_thread is not None:
-            ckpt_thread.join()
-        ckpt_thread = threading.Thread(
-            target=_checkpoint_round,
-            args=(
-                out_dir,
-                r,
-                p_tbls,
-                pending_count,
-                p_big,
-                seed_tbl if r == 0 else None,
-                list(metrics),
-            ),
+            ckpt_thread.join_and_raise()
+        ckpt_thread = _CheckpointThread(
+            out_dir,
+            r,
+            p_tbls,
+            pending_count,
+            p_big,
+            seed_tbl if r == 0 else None,
+            list(metrics),
         )
         ckpt_thread.start()
         seed_tbl = None
@@ -615,7 +648,7 @@ def crawl(
         rounds_run += 1
 
     if ckpt_thread is not None:
-        ckpt_thread.join()
+        ckpt_thread.join_and_raise()
     seen_count = sum(ray.get([s.n_items.remote() for s in shards]))
     for s in shards:
         ray.kill(s)

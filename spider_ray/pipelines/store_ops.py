@@ -78,11 +78,15 @@ def compact_store(out_dir: str, target_rows_per_file: int = 500_000) -> int:
         return 0
     tmp = os.path.join(out_dir, ".compact")
     shutil.rmtree(tmp, ignore_errors=True)
-    ds.write_parquet(tmp, min_rows_per_file=target_rows_per_file)
+    ds.write_parquet(os.path.join(tmp, "r0000"), min_rows_per_file=target_rows_per_file)
     store = os.path.join(out_dir, "store")
-    shutil.rmtree(store)
-    os.makedirs(store)
-    os.replace(tmp, os.path.join(store, "r0000"))
+    old = os.path.join(out_dir, ".old_store")
+    # two renames instead of rmtree-then-move: the old store stays intact
+    # (recoverable at .old_store) until the new one is fully in place
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(store, old)
+    os.replace(tmp, store)
+    shutil.rmtree(old)
     return n
 
 
@@ -91,16 +95,29 @@ def reconcile_stores(old_dir: str, new_dir: str, out_path: str, overwrite: bool 
     overwrite flag semantics (postgres_database.py:104-142,162-182 —
     ON CONFLICT(url) DO UPDATE when overwrite, keep-old when not).
     Implemented as union + groupby(url) keep-winner; the winner is the new
-    row when ``overwrite`` else the old row."""
-    old = read_store(old_dir).map_batches(
-        lambda b: b.assign(_gen=0), batch_format="pandas"
-    )
-    new = read_store(new_dir).map_batches(
-        lambda b: b.assign(_gen=1), batch_format="pandas"
-    )
+    row when ``overwrite`` else the old row (deterministic tie-break by
+    discovery_rank within a generation, for stores that hold duplicate urls
+    — --no-cache crawls or retry-duplicated parts). The new generation's
+    ranks are offset past the old generation's maximum so the merged store
+    keeps UNIQUE discovery_ranks (catch/canonical ordering stay
+    deterministic across re-crawls)."""
+    old_ds = read_store(old_dir)
+    rank_offset = 0
+    if old_ds.count() > 0:
+        rank_offset = int(old_ds.max("discovery_rank")) + 1
+
+    old = old_ds.map_batches(lambda b: b.assign(_gen=0), batch_format="pandas")
+
+    def renumber(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(_gen=1)
+        b["discovery_rank"] = b["discovery_rank"] + rank_offset
+        return b
+
+    new = read_store(new_dir).map_batches(renumber, batch_format="pandas")
     want = 1 if overwrite else 0
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_gen", "discovery_rank"])
         match = g[g["_gen"] == want]
         row = match.iloc[:1] if len(match) else g.iloc[:1]
         return row.drop(columns=["_gen"])

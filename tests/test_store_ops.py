@@ -55,11 +55,14 @@ def test_reconcile_overwrite_semantics(crawled):
     merged_keep = reconcile_stores(out, out2, str(root / "m2"), overwrite=False).to_pandas()
     assert set(merged_ow.url) == set(old.url) | set(new.url)
     assert set(merged_ow.url) == set(merged_keep.url)
+    # merged ranks stay unique (new generation offset past old max)
+    assert merged_ow.discovery_rank.is_unique and merged_keep.discovery_rank.is_unique
+    offset = old.discovery_rank.max() + 1
     for u in overlap:
         # winner's discovery_rank tells which generation survived
         assert (
             merged_ow[merged_ow.url == u].discovery_rank.iloc[0]
-            == new[new.url == u].discovery_rank.iloc[0]
+            == new[new.url == u].discovery_rank.iloc[0] + offset
         )
         assert (
             merged_keep[merged_keep.url == u].discovery_rank.iloc[0]
