@@ -116,6 +116,44 @@ def test_engine_join_fetch_mode(corpus_dir, corpus_dict, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_actor_pool_fetch_mode(corpus_dir, corpus_dict, tmp_path):
+    res, store = _run_engine(
+        corpus_dir, tmp_path, max_depth=1, fetch_mode="indexed_actors",
+        fetch_concurrency=2,
+    )
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=1)
+    _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_finalize_store_dedups_duplicate_parts(corpus_dir, tmp_path):
+    # simulate a task-retry duplicated part file, then run the exactness net
+    import glob
+    import shutil
+
+    from spider_ray.pipelines.crawl import crawl, read_store
+    from spider_ray.stages.expand import finalize_store
+
+    out = str(tmp_path / "o")
+    crawl(corpus_dir, SEEDS, out, max_depth=1)
+    clean = read_store(out, canonical_order=True).to_pandas()
+    part = glob.glob(f"{out}/store/r0000/*.parquet")[0]
+    shutil.copy(part, part.replace(".parquet", "-retry-dup.parquet"))
+    assert read_store(out).count() > len(clean)  # duplicates present
+
+    finalize_store(f"{out}/store", str(tmp_path / "final"))
+    import ray
+
+    final = (
+        ray.data.read_parquet(str(tmp_path / "final"))
+        .to_pandas()
+        .sort_values(["depth", "discovery_rank"])
+        .reset_index(drop=True)
+    )
+    assert final.equals(clean)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_engine_partitioned_fetch_mode(corpus_dir, corpus_dict, tmp_path):
     res, store = _run_engine(corpus_dir, tmp_path, max_depth=1, fetch_mode="partitioned")
     oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=1)
