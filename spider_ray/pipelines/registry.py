@@ -53,6 +53,8 @@ QUERIES = {
     "q1_pricing_summary": relational.q1_pricing_summary,
     "orders_by_segment": relational.orders_by_segment,
     "events_hourly": relational.events_hourly,
+    "events_sliding": relational.events_sliding,
+    "top_events_per_type": relational.top_events_per_type,
     "top_users_by_events": relational.top_users_by_events,
     "sessionize": relational.sessionize,
     # text analysis
@@ -109,6 +111,21 @@ ORACLE_SQL = {
     "events_hourly": (
         "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n "
         "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "events_sliding": (
+        "SELECT event_type, window_start, count(*) AS n FROM ("
+        "SELECT event_type, ts, "
+        "to_timestamp(CAST(floor(epoch(ts - INTERVAL (o.off) MINUTE) / 3600) AS BIGINT) "
+        "* 3600)::TIMESTAMP + INTERVAL (o.off) MINUTE AS window_start "
+        "FROM events, (SELECT unnest([0, 30]) AS off) o"
+        ") GROUP BY event_type, window_start"
+    ),
+    "top_events_per_type": (
+        "SELECT event_type, event_id, value_c FROM ("
+        "SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) AS value_c, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id) AS rn "
+        "FROM events) WHERE rn <= 3"
     ),
     "top_users_by_events": (
         "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id "

@@ -154,6 +154,56 @@ def events_hourly(sf_dir: str) -> Dataset:
     )
 
 
+def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Dataset:
+    """Sliding event-time window (size 60 min, slide 30 min) as a union of
+    ``size/slide`` shifted tumbling windows — each event lands in exactly
+    size/slide windows, all computed in one vectorized pass + one groupby
+    (the standard way to express sliding windows on a batch engine)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    n_shifts = size_min // slide_min
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()
+        et = batch.column("event_type")
+        size = np.timedelta64(size_min, "m")
+        slide = np.timedelta64(slide_min, "m")
+        outs = []
+        for i in range(n_shifts):
+            off = slide * i
+            start = ((ts - off).astype(f"datetime64[m]").astype(np.int64) // size_min)
+            start = (start * size_min).astype("datetime64[m]") + off
+            outs.append(
+                pa.table(
+                    {
+                        "event_type": et,
+                        "window_start": pa.array(start.astype("datetime64[us]")),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def top_events_per_type(sf_dir: str, k: int = 3) -> Dataset:
+    """Top-k-per-group: the k highest-value events of each type
+    (deterministic tie-break by event_id) — groupby + per-group head."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_type", "event_id", "value"]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(value_c=_cents(g["value"].to_numpy()))
+        g = g.sort_values(["value_c", "event_id"], ascending=[False, True]).head(k)
+        return g[["event_type", "event_id", "value_c"]]
+
+    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
 def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     agg = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
