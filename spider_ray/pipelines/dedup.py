@@ -108,7 +108,11 @@ def minhash_lsh_pairs(
         texts_tbl = pq.read_table(
             os.path.join(docs, "documents.parquet"), columns=["doc_id", "text"]
         )
-        docs = ray.data.from_arrow(texts_tbl)  # reuse the one read
+        # reuse the one read, but re-split: from_arrow yields ONE block and
+        # the minhash pass is CPU-heavy — a single task would serialize it
+        docs = ray.data.from_arrow(texts_tbl).repartition(
+            max(1, min(64, texts_tbl.num_rows // 128))
+        )
     else:
         texts_tbl = pa.concat_tables(
             ray.get(list(docs.to_arrow_refs()))
