@@ -95,6 +95,8 @@ QUERY_BENCH = [
     "q1_pricing_summary",
     "orders_by_segment",
     "events_hourly",
+    "events_sliding",
+    "top_events_per_type",
     "sessionize",
     "source_counts",
     "dedup_exact",
