@@ -34,7 +34,7 @@ CORPUS_LINKS = 10
 CORPUS_WORDS = 300
 CORPUS_PAGES_PER_SF = 10_000_000
 SEEDS = [f"https://h{k}.example/p0" for k in range(64)]
-CRAWL_DEPTH = 5
+CRAWL_DEPTH = 6
 
 
 def _sf_of(sf_dir: str) -> float:
