@@ -38,9 +38,16 @@ def _to_matrix(batch: pd.DataFrame) -> np.ndarray:
 
 
 def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    i = tbl.column("vec_id").to_pylist().index(vec_id)
-    return np.asarray(tbl.column("embedding")[i].as_py(), dtype=np.float64)
+    """One row by key via parquet predicate pushdown — only row groups whose
+    vec_id statistics cover the key are read, never the whole table."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    if tbl.num_rows == 0:
+        raise KeyError(f"vec_id {vec_id} not found")
+    return np.asarray(tbl.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def brute_topk(sf_dir: str, k: int = 10, query_id: int = 0) -> Dataset:
@@ -71,6 +78,25 @@ def brute_topk(sf_dir: str, k: int = 10, query_id: int = 0) -> Dataset:
 _IVF_SEED = 11
 
 
+def _sample_matrix(sf_dir: str, sample: int) -> np.ndarray:
+    """Deterministic DISTRIBUTED sample of ≈``sample`` unit-normalized
+    embeddings: each batch keeps rows with ``vec_id % stride == 0`` (a
+    pushed-down, layout-independent stride sample), and only those sampled
+    rows ever reach the driver — never the full table."""
+    ds = _emb(sf_dir)
+    n = ds.count()  # parquet metadata only
+    stride = max(1, n // max(1, sample))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = (batch.column("vec_id").to_numpy() % stride) == 0
+        return batch.filter(pa.array(mask)).select(["embedding"])
+
+    sampled = ds.map_batches(keep, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(sampled.to_arrow_refs()))
+    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
 def train_ivf_centroids(
     sf_dir: str,
     n_clusters: int = 16,
@@ -78,17 +104,12 @@ def train_ivf_centroids(
     iters: int = 10,
     matrix: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample — the coarse
-    quantizer of an IVF index. At the 100 TB tier the sample is a
-    ``random_sample`` of the embedding dataset; centroid training stays a
-    driver-side numpy loop either way (centroids are tiny). Pass ``matrix``
-    (already unit-normalized) to reuse a table the caller has read."""
-    if matrix is None:
-        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-        m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    else:
-        m = matrix
+    """Deterministic mini k-means on a SAMPLE of the embeddings — the coarse
+    quantizer of an IVF index. The sample is collected distributedly
+    (``_sample_matrix``); centroid training stays a driver-side numpy loop
+    (centroids are tiny). Pass ``matrix`` (already unit-normalized) to train
+    on data the caller has in hand (tests)."""
+    m = _sample_matrix(sf_dir, sample) if matrix is None else matrix
     rng = np.random.RandomState(_IVF_SEED)
     idx = rng.choice(len(m), size=min(sample, len(m)), replace=False)
     x = m[idx]
@@ -108,18 +129,17 @@ def ivf_topk(
     sf_dir: str, k: int = 10, query_id: int = 0, nprobe: int = 4, n_clusters: int = 16
 ) -> pd.DataFrame:
     """IVF approximate top-k: scan only the ``nprobe`` clusters nearest the
-    query. Centroids are broadcast; every batch assigns its vectors to
-    clusters (one matmul) and scores only the rows in probed clusters —
-    per-batch work shrinks by ~nprobe/n_clusters at scale (a real IVF
-    pre-partitions the corpus by cluster id at ingest so non-probed
-    clusters are never read at all; this is the streaming version)."""
-    # one driver-side read serves the query vector AND centroid training
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    qi = tbl.column("vec_id").to_pylist().index(query_id)
-    q = m[qi]
-    cent = train_ivf_centroids(sf_dir, n_clusters, matrix=m)
+    query. Centroids train on a distributed sample, the query row comes via
+    predicate pushdown, centroids are broadcast; every batch assigns its
+    vectors to clusters (one matmul) and scores only the rows in probed
+    clusters. This is the index-free streaming version — ``ivf_ingest`` +
+    ``ivf_topk_bucketed`` below are the ingest-time layout that makes
+    non-probed clusters never leave storage at all. ``nprobe >=
+    n_clusters`` probes everything → exact (== brute_topk), which is the
+    registry's oracle-checked mode."""
+    q = query_vector(sf_dir, query_id)
+    q = q / np.linalg.norm(q)
+    cent = train_ivf_centroids(sf_dir, n_clusters)
     probe_set = set(np.argsort(-(cent @ q))[:nprobe].tolist())
     ref = ray.put((q, cent, probe_set))
 
@@ -141,6 +161,77 @@ def ivf_topk(
         return pd.DataFrame({"vec_id": ids[order].astype(np.int64), "cos": cos[order]})
 
     partials = _emb(sf_dir).map_batches(scan, batch_format="pandas", batch_size=8192)
+    merged = partials.to_pandas()
+    order = np.lexsort((merged["vec_id"].to_numpy(), -merged["cos"].to_numpy()))[:k]
+    return merged.iloc[order].reset_index(drop=True)
+
+
+def ivf_ingest(sf_dir: str, index_dir: str, n_clusters: int = 16) -> np.ndarray:
+    """Ingest-time IVF layout: assign every embedding to its nearest
+    centroid and write the table PARTITIONED BY cluster id (hive dirs
+    ``cluster=K/``). Probes then read only their buckets' files — at the
+    100 TB tier non-probed clusters never leave storage. Returns (and
+    persists) the trained centroids."""
+    import shutil
+
+    cent = train_ivf_centroids(sf_dir, n_clusters)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    ref = ray.put(cent)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        c = get_broadcast(ref)
+        m = _to_matrix(batch)
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        batch = batch.copy()
+        batch["cluster"] = (norm @ c.T).argmax(axis=1).astype(np.int64)
+        return batch
+
+    _emb(sf_dir).map_batches(assign, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["cluster"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_topk_bucketed(
+    sf_dir: str, index_dir: str, k: int = 10, query_id: int = 0, nprobe: int = 4
+) -> pd.DataFrame:
+    """Top-k over a cluster-partitioned IVF index: ONLY the ``nprobe``
+    probed buckets' parquet files are opened (pruned at the read — see
+    test_ann_index for the files-touched assertion)."""
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = query_vector(sf_dir, query_id)
+    q = q / np.linalg.norm(q)
+    probes = np.argsort(-(cent @ q))[:nprobe].tolist()
+    import glob
+
+    # expand bucket dirs to their files (read_parquet accepts a dir OR a
+    # list of files, not a list of dirs); a centroid owning zero rows
+    # simply contributes no files
+    paths = sorted(
+        f
+        for c in probes
+        for f in glob.glob(os.path.join(index_dir, f"cluster={c}", "*.parquet"))
+    )
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        qv = get_broadcast(q_ref)
+        m = _to_matrix(batch)
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = norm @ qv
+        ids = batch["vec_id"].to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame({"vec_id": ids[order].astype(np.int64), "cos": cos[order]})
+
+    partials = ray.data.read_parquet(paths, columns=["vec_id", "embedding"]).map_batches(
+        local_topk, batch_format="pandas", batch_size=8192
+    )
     merged = partials.to_pandas()
     order = np.lexsort((merged["vec_id"].to_numpy(), -merged["cos"].to_numpy()))[:k]
     return merged.iloc[order].reset_index(drop=True)

@@ -4,35 +4,42 @@ SimHash, n-gram Jaccard, embedding-cosine — each shaped for the 100 TB tier:
 - **exact**: content-hash column (vectorized md5) → ``groupby(fp)`` →
   first-wins (min doc_id). One shuffle over (fp, doc_id) pairs only — the
   text never moves.
-- **MinHash+LSH**: per-doc shingles → 64 minhashes (one blake2b per shingle
-  + 64 universal-hash permutations, numpy) → ``bands`` explode to
-  ``(band_id, band_key, doc_id)`` rows → ``groupby(band)`` emits candidate
-  pairs → pairs verified with EXACT shingle-set Jaccard. Only candidate
-  pairs (a vanishing fraction at scale) ever touch text again.
-- **SimHash**: 64-bit sign-aggregated word-feature hash per doc; near-dups
-  = small Hamming distance (verified in tests on planted near-dups).
+- **MinHash+LSH**: per-doc shingle-hash SKETCHES (one blake2b per shingle)
+  are computed once and materialized; 64 minhashes derive from the sketch
+  (numpy universal hashes); 32 bands × 2 rows explode to
+  ``(band_id, k1, k2, doc_id)`` rows; candidate pairs come from a hash
+  SELF-JOIN on the band key (vectorized — no per-bucket Python); pairs are
+  deduplicated with a ``Count`` aggregate and verified by EXACT Jaccard over
+  the two docs' sketches, obtained by hash-JOINING the pairs against the
+  sketch table on doc_id — document text is never broadcast and never moves
+  after the sketch pass. With 2-row bands a J=0.8 pair is missed with
+  probability (1-J²)^32 ≈ 6e-15, so the LSH output equals the exact
+  all-pairs answer (the DuckDB oracle) at any realistic scale.
+- **SimHash**: 64-bit sign-aggregated word-feature hash per doc; the word
+  hash is md5-low-64 (DuckDB ``md5_number_lower``) so an ANSI-SQL oracle
+  recomputes it exactly; near-dups = small Hamming distance.
 - **embedding near-dup**: cosine ≥ τ over an embedding column; brute-force
   within a bounded id range (the oracle-checked baseline), LSH-bucketed for
   the scale path (see ann.py).
 
-The verify stage looks document text up via a broadcast ``ray.put`` table —
-right while the candidate set fits memory; at 10^10 docs this becomes a hash
-join of pairs against the documents table on doc_id.
+Exactness note: Jaccard is computed over 64-bit shingle hashes while the
+oracle intersects shingle strings; a within-pair collision (two distinct
+shingles of one pair hashing equal) has probability ~|union|²·2⁻⁶⁴ ≈ 1e-15
+per pair — negligible against the driver's value-hash compare.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
-from itertools import combinations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 # 64 universal-hash permutations over a Mersenne prime — fixed seeds, so
 # every worker computes identical signatures.
@@ -41,7 +48,11 @@ _PRIME = (1 << 61) - 1
 _rng = np.random.RandomState(42)
 _A = _rng.randint(1, _PRIME, size=_MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
 _B = _rng.randint(0, _PRIME, size=_MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
-_BANDS = 16
+# 32 bands × 2 rows: P(candidate | J) = 1-(1-J²)^32 — ≥ 1-6e-15 at J=0.8,
+# so LSH recall is exact for the oracle while random pairs (J≈0) still
+# almost never collide. (16×4 missed a J=0.8 pair with p≈2e-4 — visible to
+# a value-hash compare at scale.)
+_BANDS = 32
 _ROWS_PER_BAND = _MINHASH_PERMS // _BANDS
 
 
@@ -50,30 +61,39 @@ def _docs(sf_dir: str, columns):
 
 
 def shingle_set(text: str, n: int = 3) -> set[str]:
+    """Word n-gram shingles; docs with fewer than ``n`` words have NO
+    shingles (the same convention as the SQL oracle's ``range(1,
+    len(words)-1)`` and textops.shingle_stats)."""
     words = text.lower().split()
     if len(words) < n:
-        return {" ".join(words)} if words else set()
+        return set()
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    return np.array(
-        [
+    """Sorted unique 64-bit shingle hashes — the doc's dedup sketch."""
+    h = np.fromiter(
+        (
             int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
             for s in shingle_set(text, n)
-        ],
+        ),
         dtype=np.uint64,
     )
+    h.sort()
+    return h
 
 
-def minhash_signature(text: str, n: int = 3) -> np.ndarray:
-    """64 minhash values (uint64) for the doc's shingle set."""
-    h = _shingle_hashes(text, n)
+def minhash_from_hashes(h: np.ndarray) -> np.ndarray:
     if h.size == 0:
         return np.full(_MINHASH_PERMS, np.iinfo(np.uint64).max, dtype=np.uint64)
     # (perms × shingles) universal hash, min over shingles — vectorized
     v = (h[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_PRIME)
     return v.min(axis=1)
+
+
+def minhash_signature(text: str, n: int = 3) -> np.ndarray:
+    """64 minhash values (uint64) for the doc's shingle set."""
+    return minhash_from_hashes(_shingle_hashes(text, n))
 
 
 def band_keys(sig: np.ndarray) -> list[bytes]:
@@ -96,85 +116,178 @@ def exact_dedup(sf_dir: str) -> Dataset:
     return ds.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
+# sketches travel as raw little-endian uint64 bytes: binary columns pass
+# through Arrow's hash join (list<uint64> is rejected as a join payload)
+_SKETCH_TYPE = pa.large_binary()
+
+
+from spider_ray.blockutil import drop_empty_blocks as _drop_empty_blocks  # noqa: E402
+
+
+def sketch_documents(docs: Dataset, n: int = 3) -> Dataset:
+    """One pass over the text: (doc_id, sh=sorted unique shingle hashes).
+    The sketch is the only derivative of the text the rest of the MinHash
+    pipeline touches (~8 B/shingle vs the full document)."""
+
+    def to_sketch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        sketches = [_shingle_hashes(t, n) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": ids, "sh": pa.array([s.tobytes() for s in sketches], _SKETCH_TYPE)}
+        )
+
+    return docs.map_batches(to_sketch, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
-    docs: Dataset | str, jaccard_threshold: float = 0.8
+    docs: Dataset | str,
+    jaccard_threshold: float = 0.8,
+    num_partitions: int = 8,
 ) -> Dataset:
     """MinHash+LSH near-dup candidate generation + exact-Jaccard verify.
 
     Returns one row per verified pair: (doc_a, doc_b, n_inter, n_union) with
-    doc_a < doc_b and n_inter/n_union ≥ threshold (counts kept as ints so
-    results are exactly comparable; jaccard = n_inter/n_union)."""
+    doc_a < doc_b and n_inter·100 ≥ pct·n_union, pct = round(threshold·100)
+    (integer comparison on both sides — float 0.8·union would disagree with
+    the SQL oracle at exact-boundary pairs). Shuffles carry only sketches,
+    band keys and id pairs; text moves once (into the sketch pass)."""
+    pct = int(round(jaccard_threshold * 100))
     if isinstance(docs, str):
-        texts_tbl = pq.read_table(
-            os.path.join(docs, "documents.parquet"), columns=["doc_id", "text"]
+        docs = _docs(docs, ["doc_id", "text"])
+    # materialized so banding + the two verify joins reuse one sketch pass
+    # instead of re-reading text per consumption; sketches spill fine
+    sk = sketch_documents(docs).materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sh_col = batch.column("sh")
+        ids_out = np.repeat(ids, _BANDS)
+        band_id = np.tile(np.arange(_BANDS, dtype=np.int32), len(ids))
+        sigs = np.empty((len(ids), _MINHASH_PERMS), dtype=np.uint64)
+        keep = np.ones(len(ids) * _BANDS, dtype=bool)
+        for i in range(len(ids)):
+            h = np.frombuffer(sh_col[i].as_py(), dtype=np.uint64)
+            if h.size == 0:
+                keep[i * _BANDS : (i + 1) * _BANDS] = False  # no shingles →
+                # no bands (an all-max signature would bucket every empty
+                # doc together into one quadratic bucket)
+                sigs[i] = 0
+            else:
+                sigs[i] = minhash_from_hashes(h)
+        # 2-row bands → the band key IS the two minhash values (< 2^61, so
+        # int64-safe); groupby/join on plain int columns, no re-hashing
+        k1 = sigs[:, 0::2].astype(np.int64).reshape(-1)
+        k2 = sigs[:, 1::2].astype(np.int64).reshape(-1)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id[keep]),
+                "k1": pa.array(k1[keep]),
+                "k2": pa.array(k2[keep]),
+                "doc_id": pa.array(ids_out[keep], pa.int64()),
+            }
         )
-        # reuse the one read, but re-split: from_arrow yields ONE block and
-        # the minhash pass is CPU-heavy — a single task would serialize it
-        docs = ray.data.from_arrow(texts_tbl).repartition(
-            max(1, min(64, texts_tbl.num_rows // 128))
-        )
-    else:
-        texts_tbl = pa.concat_tables(
-            ray.get(list(docs.to_arrow_refs()))
-        ).select(["doc_id", "text"])
-    texts_ref = ray.put(
-        dict(zip(texts_tbl.column("doc_id").to_pylist(), texts_tbl.column("text").to_pylist()))
+
+    bands = sk.map_batches(to_bands, batch_format="pyarrow")
+
+    # candidate pairs = band-key self-join (each LSH bucket × itself),
+    # ordered a < b — fully vectorized, no per-bucket Python
+    joined = bands.join(
+        bands.rename_columns({"doc_id": "doc_b"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("band_id", "k1", "k2"),
     )
 
-    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bids, keys = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = minhash_signature(text)
-            for b, key in enumerate(band_keys(sig)):
-                ids.append(doc_id)
-                bids.append(b)
-                keys.append(hashlib.blake2b(key, digest_size=8).hexdigest())
-        return pd.DataFrame({"doc_id": ids, "band_id": bids, "band_key": keys})
+    def ordered(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch.column("doc_id"), batch.column("doc_b")))
+        return pa.table({"doc_a": t.column("doc_id"), "doc_b": t.column("doc_b")})
 
-    bands = docs.map_batches(to_bands, batch_format="pandas")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        pairs = list(combinations(ids, 2))
-        if not pairs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
-        a, b = zip(*pairs)
-        return pd.DataFrame({"doc_a": np.asarray(a, np.int64), "doc_b": np.asarray(b, np.int64)})
-
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands — dedupe before the verify stage
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    cand = joined.map_batches(ordered, batch_format="pyarrow")
+    # a pair can surface from several bands — dedupe with an AGGREGATE (a
+    # per-pair map_groups here cost one Python call per pair)
+    cand = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nb"))
+        .drop_columns(["_nb"])
+    )
+    # Ray's hash-aggregate emits COLUMNLESS empty blocks for empty
+    # partitions, map_batches skips empty blocks (so they can't be fixed
+    # downstream), and Arrow's join rejects a columnless left partition.
+    # Drop them by block ref — metadata only, no block fetch.
+    cand = _drop_empty_blocks(
+        cand, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     )
 
-    thr = jaccard_threshold
+    # verify stage: join candidate pairs back to the sketches on each side —
+    # the two semi-joins that replace any text/corpus broadcast
+    with_a = cand.join(
+        sk.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+    )
+    with_ab = with_a.join(
+        sk.rename_columns({"doc_id": "doc_b", "sh": "sh_b"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
+    )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        from spider_ray.stages.broadcast import get_broadcast
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_i, out_u = [], [], [], []
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        sa_col, sb_col = batch.column("sh_a"), batch.column("sh_b")
+        for i in range(batch.num_rows):
+            sa = np.frombuffer(sa_col[i].as_py(), dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i].as_py(), dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            if union and inter * 100 >= pct * union:
+                out_a.append(da[i])
+                out_b.append(db[i])
+                out_i.append(inter)
+                out_u.append(union)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "n_inter": pa.array(out_i, pa.int64()),
+                "n_union": pa.array(out_u, pa.int64()),
+            }
+        )
 
-        texts = get_broadcast(texts_ref)  # deserialized once per worker
-        rows = []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            sa, sb = shingle_set(texts[a]), shingle_set(texts[b])
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            if union and inter >= thr * union:
-                rows.append((a, b, inter, union))
-        return pd.DataFrame(
-            rows, columns=["doc_a", "doc_b", "n_inter", "n_union"]
-        ).astype({"doc_a": np.int64, "doc_b": np.int64, "n_inter": np.int64, "n_union": np.int64})
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
-    return cand.map_batches(verify, batch_format="pandas", batch_size=4096)
+
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+# word → md5-low64 cache (per worker process; synthetic/web vocab is zipfian
+# so the hit rate is high); bounded to keep worker heap flat
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 1 << 20
+
+
+def _word_hash(w: str) -> int:
+    """Low 64 bits of md5 — defined exactly as DuckDB ``md5_number_lower``:
+    bytes 8..16 of the digest, little-endian (verified against duckdb 1.0)."""
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+        if len(_WORD_HASH_CACHE) < _WORD_HASH_CACHE_MAX:
+            _WORD_HASH_CACHE[w] = h
+    return h
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (blake2b word hashes, ±1 per bit)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.lower().split():
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    """64-bit SimHash over word features (md5-low-64 word hashes, ±1 per
+    bit) — SQL-recomputable via md5_number_lower, see registry oracle."""
+    words = text.lower().split()
+    if not words:
+        return 0
+    hs = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64, count=len(words))
+    bits = ((hs[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << _BIT_SHIFTS).sum())
 
 
 def simhash_table(sf_dir: str) -> Dataset:
@@ -192,22 +305,44 @@ def simhash_table(sf_dir: str) -> Dataset:
 def embedding_near_dup_pairs(
     sf_dir: str, threshold_pct: int = 40, max_id: int = 200
 ) -> Dataset:
-    """Embedding-cosine near-dup pairs among vec_id < max_id (bounded so the
-    O(n²) oracle stays cheap; the unbounded scale path is LSH-bucketed, see
-    ann.lsh_topk). Cosine compared in float64 against an integer percent
-    threshold; returns (vec_a, vec_b) pairs with cos ≥ threshold_pct/100."""
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    tbl = tbl.filter(pa.compute.less(tbl["vec_id"], max_id))
+    """Embedding-cosine near-dup pairs among vec_id < max_id, computed as a
+    DISTRIBUTED block × broadcast-slice product: the (small) id-bounded
+    slice is broadcast once; every batch of it computes cosines against the
+    slice and emits its qualifying pairs — the same shape scales to an
+    unbounded corpus by replacing the broadcast slice with LSH buckets (see
+    ann.lsh_topk). Cosine in float64 vs an integer percent threshold;
+    returns (vec_a, vec_b), vec_a < vec_b, cos·100 ≥ threshold_pct."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filters=[("vec_id", "<", max_id)],
+    )
     ids = np.asarray(tbl["vec_id"])
     m = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    sims = m @ m.T
-    ia, ib = np.triu_indices(len(ids), k=1)
-    keep = sims[ia, ib] * 100 >= threshold_pct
-    out = pa.table(
-        {
-            "vec_a": pa.array(ids[ia[keep]], pa.int64()),
-            "vec_b": pa.array(ids[ib[keep]], pa.int64()),
-        }
+    slice_ref = ray.put((ids, m))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < max_id,
     )
-    return ray.data.from_arrow(out)
+
+    def pairs(batch: pd.DataFrame) -> pa.Table:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        all_ids, all_m = get_broadcast(slice_ref)
+        bm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        bids = batch["vec_id"].to_numpy()
+        sims = bm @ all_m.T
+        bi, aj = np.nonzero((sims * 100 >= threshold_pct) & (bids[:, None] < all_ids[None, :]))
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(all_ids[aj], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pandas", batch_size=4096)

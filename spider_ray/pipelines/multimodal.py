@@ -8,7 +8,8 @@ libraries exist in this environment, so the DECODE KERNEL is stubbed:
 - ``decode_image`` raises ``NotImplementedError`` — the seam where a real
   decoder (PIL/torchvision/ffmpeg) plugs in;
 - ``FakeDecoder`` produces deterministic pseudo-metadata (dims derived from
-  a crc32 of the payload) so the Ray-side plumbing — schema, batch sizing,
+  the md5 of the payload — md5 so a DuckDB oracle recomputes them via
+  ``md5_number_lower``) so the Ray-side plumbing — schema, batch sizing,
   actor signature, output layout — is real and tested end-to-end.
 
 Batch sizing note for real payloads: images/audio are MBs per row — pass a
@@ -19,8 +20,8 @@ size`` bound per-actor heap; blocks of wide binary rows also warrant a lower
 
 from __future__ import annotations
 
+import hashlib
 import os
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -49,13 +50,21 @@ class FakeDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        crcs = np.array([zlib.crc32(p) for p in payloads], dtype=np.int64)
+        # md5 low 64 bits, defined as DuckDB md5_number_lower (digest bytes
+        # 8..16 little-endian) so the dims are ANSI-SQL-recomputable
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(p).digest()[8:16], "little")
+                for p in payloads
+            ],
+            dtype=np.uint64,
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "payload_bytes": pa.array([len(p) for p in payloads], pa.int64()),
-                "width": pa.array(crcs % 1024 + 1),
-                "height": pa.array((crcs >> 10) % 1024 + 1),
+                "width": pa.array((hs % 1024 + 1).astype(np.int64)),
+                "height": pa.array(((hs >> 10) % 1024 + 1).astype(np.int64)),
             }
         )
 

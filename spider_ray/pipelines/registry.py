@@ -69,7 +69,12 @@ QUERIES = {
     "simhash_table": dedup.simhash_table,
     "embedding_near_dup": dedup.embedding_near_dup_pairs,
     "embedding_topk": ann.brute_topk,
-    "embedding_topk_ivf": ann.ivf_topk,  # approximate → rows-only check
+    # exact mode (nprobe == n_clusters probes every cluster) → the IVF
+    # machinery runs end-to-end AND the result is oracle-comparable to the
+    # brute-force SQL; the approximate path is recall-gated in pytest
+    "embedding_topk_ivf": lambda sf_dir: ann.ivf_topk(
+        sf_dir, k=10, query_id=0, nprobe=16, n_clusters=16
+    )[["vec_id"]],
     # multimodal plumbing
     "payload_bytes": multimodal.payload_bytes,
     "image_meta_stub": multimodal.image_meta_stub,
@@ -183,6 +188,53 @@ ORACLE_SQL = {
         "SELECT vec_id FROM embeddings, q "
         "ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id LIMIT 10"
     ),
+    # exact-mode IVF == brute-force top-k (see QUERIES comment)
+    "embedding_topk_ivf": (
+        "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id FROM embeddings, q "
+        "ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id LIMIT 10"
+    ),
+    # MinHash+LSH with 32×2 banding misses a J≥0.8 pair w.p. ≤6e-15, so the
+    # engine output equals this EXACT all-pairs answer (LSH is the candidate
+    # generator; every candidate is verified by exact shingle Jaccard)
+    "minhash_lsh_pairs": (
+        "WITH s AS ("
+        "SELECT doc_id, list_distinct(list_transform(range(1, len(words)-1), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh "
+        r"FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words "
+        "FROM documents)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, "
+        "CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS BIGINT) AS n_union "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.sh,b.sh))*100 >= "
+        "80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) "
+        "AND len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) > 0"
+    ),
+    # word hash = md5_number_lower (md5 digest bytes 8..16 little-endian,
+    # same definition as dedup._word_hash) → bit-exact SimHash in SQL
+    "simhash_table": (
+        r"WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) "
+        "AS word FROM documents), "
+        "h AS (SELECT doc_id, md5_number_lower(word) AS hv FROM w), "
+        "bpos AS (SELECT unnest(range(64)) AS bit), "
+        "acc AS (SELECT doc_id, bit, "
+        "sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM h, bpos GROUP BY doc_id, bit), "
+        "sim AS (SELECT doc_id, lpad(lower(hex(CAST(sum(CASE WHEN s > 0 THEN "
+        "(CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT))),"
+        "16,'0') AS simhash FROM acc GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(sim.simhash, '0000000000000000') AS simhash "
+        "FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id"
+    ),
+    # FakeDecoder dims are md5-derived (see multimodal.FakeDecoder); the
+    # payload is encode(text), so md5(text) == md5(payload)
+    "image_meta_stub": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes, "
+        "CAST(md5_number_lower(text) % 1024 + 1 AS BIGINT) AS width, "
+        "CAST((md5_number_lower(text) >> 10) % 1024 + 1 AS BIGINT) AS height "
+        "FROM documents"
+    ),
     "embedding_near_dup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b "
         "WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id "
@@ -192,6 +244,7 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes "
         "FROM documents"
     ),
-    # rows-only (no SQL equivalent): minhash_lsh_pairs, simhash_table,
-    # image_meta_stub, crawl_bfs
+    # rows-only (no SQL equivalent): crawl_bfs — the pages corpus is not a
+    # driver view; its correctness gate is the sequential-oracle pytest
+    # suite (tests/test_crawl_engine.py)
 }

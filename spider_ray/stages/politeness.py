@@ -9,23 +9,38 @@ time, before any deferral, and deferred rows keep their original
 ``(depth, rank)`` — deferral delays fetch, never re-ranks and never drops
 (SURVEY.md §7 hard-part 4).
 
-Physical shape: the frontier is grouped by canonical host (this is THE
-partitioning key of the crawl — politeness and hot-host skew both localize
-on it, SURVEY.md §4) and each host group keeps its ``budget`` smallest ranks
-for this round. The hot host's group is one task; its rows are frontier
-metadata (url + ints), so even a 50%-skewed frontier group is small.
+Hot-host-safe physical shape (SURVEY.md §7 hard-part 5): "keep the b
+smallest ranks per host" is computed WITHOUT ever putting one host's rows in
+one task. Ranks are globally unique ints, so the selection is equivalent to
+a per-host RANK THRESHOLD (the b-th smallest rank), and the threshold is
+computed in two vectorized stages:
+
+1. per-block partial: each block keeps at most b rows per host (pandas
+   sort + cumcount — C-level), so a 50 %-skewed 10^10-row frontier
+   contributes ≤ b × n_blocks candidate rows per host, spread across tasks;
+2. per-host reduce over the REDUCED candidates picks the b-th smallest rank.
+
+The thresholds table is one row per THROTTLED host. It is applied as a
+broadcast dict when small (≤ ``broadcast_limit`` hosts — always true in this
+sandbox) and as a left-outer hash JOIN on host beyond that (the 10^8-host
+path); both paths are tested equal.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import ray
 from ray.data import Dataset
+
+_BROADCAST_LIMIT = 1_000_000
 
 
 def politeness_split(
     pending: Dataset,
     per_host_budget: int | None,
     host_budgets: dict[str, int] | None = None,
+    broadcast_limit: int = _BROADCAST_LIMIT,
 ) -> tuple[Dataset, Dataset]:
     """→ (fetch_now, deferred). With no budget at all, everything fetches
     now. ``host_budgets`` (e.g. derived from robots crawl_delay_ms —
@@ -36,16 +51,71 @@ def politeness_split(
 
     budget = per_host_budget
     overrides = host_budgets or {}
+    max_budget = max([budget or 0, *overrides.values()])
 
-    def flag_group(g: pd.DataFrame) -> pd.DataFrame:
-        b = overrides.get(g["host"].iloc[0], budget)
-        g = g.sort_values("rank")
-        g = g.assign(_fetch_now=True)
-        if b is not None:
-            g.iloc[min(b, len(g)) :, g.columns.get_loc("_fetch_now")] = False
-        return g
+    def partial_topb(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[["host", "rank"]]
+        if budget is None:
+            # only override hosts are throttled — everything else is
+            # irrelevant to threshold computation
+            d = d[d["host"].isin(overrides)]
+        if not len(d):
+            return pd.DataFrame({"host": pd.Series([], dtype=object), "rank": pd.Series([], dtype=np.int64)})
+        d = d.sort_values(["host", "rank"])
+        idx = d.groupby("host", sort=False).cumcount()
+        return d[idx < max_budget]
 
-    flagged = pending.groupby("host").map_groups(flag_group, batch_format="pandas")
+    cand = pending.map_batches(partial_topb, batch_format="pandas")
+
+    def host_threshold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["host"].iloc[0]
+        b = overrides.get(h, budget)
+        ranks = np.sort(g["rank"].to_numpy())
+        t = int(ranks[min(b, len(ranks)) - 1])
+        return pd.DataFrame({"host": [h], "_thr": [t]})
+
+    # per-host groups here hold ≤ max_budget × n_blocks rows — bounded even
+    # at 100 % skew (this group-per-host runs over the reduced candidates,
+    # never the frontier)
+    import pyarrow as pa
+
+    from spider_ray.blockutil import drop_empty_blocks
+
+    thresholds = cand.groupby("host").map_groups(host_threshold, batch_format="pandas")
+    # drop columnless empty partition blocks — they break the join path
+    thresholds = drop_empty_blocks(
+        thresholds, pa.schema([("host", pa.string()), ("_thr", pa.int64())])
+    )
+    n_hosts = thresholds.count()
+
+    if n_hosts <= broadcast_limit:
+        tbl = thresholds.to_pandas()
+        thr_ref = ray.put(dict(zip(tbl["host"], tbl["_thr"].astype(np.int64))))
+
+        def flag(batch: pd.DataFrame) -> pd.DataFrame:
+            from spider_ray.stages.broadcast import get_broadcast
+
+            thr = get_broadcast(thr_ref)
+            t = batch["host"].map(thr)
+            batch = batch.assign(_fetch_now=(t.isna() | (batch["rank"] <= t)))
+            return batch
+
+        flagged = pending.map_batches(flag, batch_format="pandas")
+    else:
+        joined = pending.join(
+            thresholds,
+            join_type="left_outer",
+            num_partitions=max(8, n_hosts // 500_000),
+            on=("host",),
+        )
+
+        def flag_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            t = batch["_thr"]
+            batch = batch.assign(_fetch_now=(t.isna() | (batch["rank"] <= t)))
+            return batch.drop(columns=["_thr"])
+
+        flagged = joined.map_batches(flag_joined, batch_format="pandas")
+
     flagged = flagged.materialize()  # frontier metadata only — small
     fetch_now = flagged.filter(expr="_fetch_now == True").drop_columns(["_fetch_now"])
     deferred = flagged.filter(expr="_fetch_now == False").drop_columns(["_fetch_now"])

@@ -1,0 +1,74 @@
+"""politeness_split unit tests — including the hot-host shape: ONE host
+owning the whole frontier (100 % skew), split across many blocks, must
+yield the same selection at any partition count, and the broadcast-dict and
+join threshold paths must agree."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _frontier(n_rows: int, hosts: list[str], n_blocks: int):
+    import ray
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "url": [f"https://x/{i}" for i in range(n_rows)],
+            "host": [hosts[i % len(hosts)] for i in range(n_rows)],
+            "depth": np.zeros(n_rows, dtype=np.int32),
+            # unique, shuffled ranks — selection must be by rank, not order
+            "rank": rng.permutation(n_rows).astype(np.int64),
+        }
+    )
+    return ray.data.from_pandas(df).repartition(n_blocks), df
+
+
+def _expected(df: pd.DataFrame, budget, overrides=None):
+    overrides = overrides or {}
+    keep = []
+    for h, g in df.groupby("host"):
+        b = overrides.get(h, budget)
+        if b is None:
+            keep += list(g["url"])
+        else:
+            keep += list(g.sort_values("rank").head(b)["url"])
+    return set(keep)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_single_hot_host_full_skew(n_blocks):
+    from spider_ray.stages.politeness import politeness_split
+
+    ds, df = _frontier(500, ["hot.example"], n_blocks)
+    now, deferred = politeness_split(ds, per_host_budget=16)
+    got = set(now.to_pandas()["url"])
+    assert got == _expected(df, 16)
+    assert deferred.count() == 500 - 16
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overrides_and_unthrottled_hosts():
+    from spider_ray.stages.politeness import politeness_split
+
+    ds, df = _frontier(300, ["a", "b", "c"], 5)
+    # global budget None → only override hosts throttled
+    now, deferred = politeness_split(ds, None, host_budgets={"b": 5})
+    got = set(now.to_pandas()["url"])
+    assert got == _expected(df, None, {"b": 5})
+    # global + override
+    now2, _ = politeness_split(ds, 10, host_budgets={"c": 3})
+    assert set(now2.to_pandas()["url"]) == _expected(df, 10, {"c": 3})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_and_join_paths_agree():
+    from spider_ray.stages.politeness import politeness_split
+
+    ds, df = _frontier(400, ["a", "b", "c", "d"], 6)
+    bc_now, bc_def = politeness_split(ds, 12)
+    j_now, j_def = politeness_split(ds, 12, broadcast_limit=0)  # force join
+    assert set(bc_now.to_pandas()["url"]) == set(j_now.to_pandas()["url"])
+    assert set(bc_def.to_pandas()["url"]) == set(j_def.to_pandas()["url"])
+    assert set(bc_now.to_pandas()["url"]) == _expected(df, 12)
