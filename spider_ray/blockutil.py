@@ -7,6 +7,24 @@ import ray
 from ray.data import Dataset
 
 
+def strip_schema_metadata(ds: Dataset) -> Dataset:
+    """Zero-copy per-block pass dropping schema-level metadata.
+
+    Parquet written via pandas carries a ``b'pandas'`` schema-metadata blob;
+    ``hash(pa.Schema)`` RAISES on such schemas (the embedded dict), which
+    makes every downstream block-coalescing step log ``Failed to hash the
+    schemas (for deduplication)`` and fall back to the slow unify path.
+    Apply directly after ``read_parquet`` of pandas-written files
+    (``batch_size=None`` = one batch per block, so this pass itself never
+    coalesces)."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
 def drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema) -> Dataset:
     """Materialize ``ds`` and rebuild it from its non-empty block refs only
     (block METADATA is inspected, blocks are never fetched to the driver).

@@ -30,7 +30,14 @@ _PLANES_SEED = 7
 
 
 def _emb(sf_dir: str) -> Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from spider_ray.blockutil import strip_schema_metadata
+
+    return strip_schema_metadata(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+    )
 
 
 def _to_matrix(batch: pd.DataFrame) -> np.ndarray:

@@ -39,6 +39,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import signal
 import threading
 import time
 from dataclasses import dataclass, field, replace
@@ -263,6 +264,39 @@ def _checkpoint_round(
     os.replace(tmp, final)
 
 
+class _DeferSigint:
+    """Defer Ctrl-C to round boundaries (reference
+    delayed_kb_interrupt.py:9-28): a SIGINT arriving mid-round is recorded
+    and re-raised as KeyboardInterrupt AFTER the in-flight round body and
+    checkpoint submission complete, so round atomicity (and therefore
+    resume exactness) survives an interactive interrupt. No-op outside the
+    main thread (signal handlers can only be installed there)."""
+
+    def __enter__(self):
+        self._pending = None
+        try:
+            self._old = signal.signal(signal.SIGINT, self._capture)
+        except ValueError:  # not the main thread
+            self._old = None
+        return self
+
+    def _capture(self, signum, frame):
+        self._pending = (signum, frame)
+
+    def check(self):
+        """Raise the deferred interrupt, if any (call at a safe point)."""
+        if self._pending is not None:
+            self._pending = None
+            raise KeyboardInterrupt
+
+    def __exit__(self, *exc):
+        if self._old is not None:
+            signal.signal(signal.SIGINT, self._old)
+            if self._pending is not None and exc == (None, None, None):
+                raise KeyboardInterrupt
+        return False
+
+
 class _CheckpointThread(threading.Thread):
     """Checkpoint writer whose failure is NOT silent: a swallowed write
     error would let later rounds promote past a missing one, and resume's
@@ -314,8 +348,13 @@ def _restore(
             f"{os.path.join(out_dir, 'rounds')} (a re-crawl reconcile discards "
             f"old checkpoints — run without --resume)"
         )
-    # clean partial work from a crashed round last+1
-    shutil.rmtree(_store_round_dir(out_dir, last + 1), ignore_errors=True)
+    # clean partial work from EVERY round past the last complete checkpoint:
+    # round last+2 may have started writing store parts while checkpoint
+    # last+1 was still in flight, and a stale partial dir would leak rows
+    # into read_store if the resumed run is truncated with max_rounds
+    for d in glob.glob(os.path.join(out_dir, "store", "r[0-9]*")):
+        if int(os.path.basename(d)[1:]) > last:
+            shutil.rmtree(d, ignore_errors=True)
     for t in glob.glob(os.path.join(out_dir, "rounds", ".r*.tmp")):
         shutil.rmtree(t, ignore_errors=True)
 
@@ -430,228 +469,240 @@ def crawl(
 
     rounds_run = 0
     ckpt_thread: threading.Thread | None = None
-    while pending_count > 0 and (cfg.max_rounds is None or rounds_run < cfg.max_rounds):
-        r = round_idx
-        t0 = time.perf_counter()
-        store_dir = _store_round_dir(out_dir, r)
-        shutil.rmtree(store_dir, ignore_errors=True)  # crashed-attempt leftovers
-        os.makedirs(store_dir)
+    intr = _DeferSigint()
+    intr.__enter__()  # defer Ctrl-C to round boundaries
+    try:
+        while pending_count > 0 and (cfg.max_rounds is None or rounds_run < cfg.max_rounds):
+            r = round_idx
+            t0 = time.perf_counter()
+            store_dir = _store_round_dir(out_dir, r)
+            shutil.rmtree(store_dir, ignore_errors=True)  # crashed-attempt leftovers
+            os.makedirs(store_dir)
 
-        fetch_now, deferred = politeness_split(
-            pending, cfg.per_host_budget, cfg.host_budgets
-        )
-        n_fetch = pending_count if deferred is None else fetch_now.count()
-        n_defer = pending_count - n_fetch
-
-        # fetch/parse parallelism == input block count: split the round's
-        # frontier so every CPU gets work (a sorted/unioned frontier often
-        # arrives as 1-2 blocks), capped so blocks never get degenerate
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        desired = max(
-            -(-n_fetch // cfg.fetch_batch_size),  # ceil
-            min(cpus, -(-n_fetch // 64)),
-        )
-        target_blocks = max(1, min(desired, 4 * cpus))
-        if n_fetch > 0:
-            fetch_now = fetch_now.repartition(target_blocks)
-
-        if cfg.fetch_mode in ("indexed", "indexed_actors"):
-            fetched = fetch_indexed(
-                fetch_now,
-                corpus_ref,
-                cfg.fetch_concurrency,
-                cfg.fetch_batch_size,
-                actors=cfg.fetch_mode == "indexed_actors",
+            fetch_now, deferred = politeness_split(
+                pending, cfg.per_host_budget, cfg.host_budgets
             )
-        elif cfg.fetch_mode == "partitioned":
-            from spider_ray.stages.fetch import fetch_partitioned
+            n_fetch = pending_count if deferred is None else fetch_now.count()
+            n_defer = pending_count - n_fetch
 
-            fetched = fetch_partitioned(fetch_now, corpus_path)
-        else:
-            fetched = fetch_join(fetch_now, corpus_path, cfg.join_partitions)
-
-        if not cfg.use_cache:
-            # --no-cache (use_cache.py:19-28): every candidate occurrence is
-            # admitted — no dedup, no seen claims; ordering still canonical
-            cand = fetched.map_batches(
-                make_parse_store_expand(
-                    start_url, parent_value, cfg.max_depth, store_dir
-                ),
-                batch_format="pyarrow",
-                batch_size=cfg.parse_batch_size,
-                zero_copy_batch=True,
+            # fetch/parse parallelism == input block count: split the round's
+            # frontier so every CPU gets work (a sorted/unioned frontier often
+            # arrives as 1-2 blocks), capped so blocks never get degenerate
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            desired = max(
+                -(-n_fetch // cfg.fetch_batch_size),  # ceil
+                min(cpus, -(-n_fetch // 64)),
             )
-            if robots_fn is not None:
-                cand = cand.map_batches(robots_fn, batch_format="pyarrow")
-            cand = cand.materialize()
-            t_parse = time.perf_counter() - t0
-            crawled_this = _store_rows_count(store_dir)
-            n_cand = cand.count()
-            t1 = time.perf_counter()
-            ranked, n_new = None, 0
-            if n_cand > 0:
-                ranked, n_new = assign_ranks(
-                    cand.sort("claim_key"),
-                    next_rank,
-                    col="rank",
-                    post_fn=_decode_candidates,
+            target_blocks = max(1, min(desired, 4 * cpus))
+            if n_fetch > 0:
+                fetch_now = fetch_now.repartition(target_blocks)
+
+            if cfg.fetch_mode in ("indexed", "indexed_actors"):
+                fetched = fetch_indexed(
+                    fetch_now,
+                    corpus_ref,
+                    cfg.fetch_concurrency,
+                    cfg.fetch_batch_size,
+                    actors=cfg.fetch_mode == "indexed_actors",
                 )
-            t_refill = time.perf_counter() - t1
-        elif cfg.dedup_mode == "actor":
-            # ONE streaming execution for the whole round body: fetch →
-            # parse → store-part write → robots gate → dedup+claim OFFER to
-            # the seen shards (fused in expand.py). Only per-batch counts
-            # come back; candidates never hit the object store. The
-            # candidates' one unavoidable all-to-all is the url-hash actor
-            # routing itself.
-            stage = make_parse_store_expand(
-                start_url,
-                parent_value,
-                cfg.max_depth,
-                store_dir,
-                offer_to=(shards, r + 1, cfg.seen_shards),
-                robots_rules=cfg.robots,
-            )
-            counts = fetched.map_batches(
-                stage,
-                batch_format="pyarrow",
-                batch_size=cfg.parse_batch_size,
-                zero_copy_batch=True,
-            ).materialize()
-            t_parse = time.perf_counter() - t0
-            ctbl = _collect_tables(counts)
-            crawled_this = int(pa.compute.sum(ctbl.column("crawled")).as_py()) if ctbl else 0
-            n_cand = int(pa.compute.sum(ctbl.column("candidates")).as_py()) if ctbl else 0
+            elif cfg.fetch_mode == "partitioned":
+                from spider_ray.stages.fetch import fetch_partitioned
 
-            t1 = time.perf_counter()
-            ranked, n_new = None, 0
-            if n_cand > 0:
-                harvests = [s.harvest.remote(r + 1) for s in shards]
-                if n_cand <= cfg.small_round_rows:
-                    # small round: sort+rank on the driver — a distributed
-                    # execution costs more than the data
-                    tbls = [t for t in ray.get(harvests) if t.num_rows]
-                    if tbls:
-                        tbl = pa.concat_tables(tbls)
-                        order = pa.compute.sort_indices(
-                            tbl, sort_keys=[("claim_key", "ascending")]
+                fetched = fetch_partitioned(fetch_now, corpus_path)
+            else:
+                fetched = fetch_join(fetch_now, corpus_path, cfg.join_partitions)
+
+            if not cfg.use_cache:
+                # --no-cache (use_cache.py:19-28): every candidate occurrence is
+                # admitted — no dedup, no seen claims; ordering still canonical
+                cand = fetched.map_batches(
+                    make_parse_store_expand(
+                        start_url, parent_value, cfg.max_depth, store_dir
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=cfg.parse_batch_size,
+                    zero_copy_batch=True,
+                )
+                if robots_fn is not None:
+                    cand = cand.map_batches(robots_fn, batch_format="pyarrow")
+                cand = cand.materialize()
+                t_parse = time.perf_counter() - t0
+                crawled_this = _store_rows_count(store_dir)
+                n_cand = cand.count()
+                t1 = time.perf_counter()
+                ranked, n_new = None, 0
+                if n_cand > 0:
+                    ranked, n_new = assign_ranks(
+                        cand.sort("claim_key"),
+                        next_rank,
+                        col="rank",
+                        post_fn=_decode_candidates,
+                    )
+                t_refill = time.perf_counter() - t1
+            elif cfg.dedup_mode == "actor":
+                # ONE streaming execution for the whole round body: fetch →
+                # parse → store-part write → robots gate → dedup+claim OFFER to
+                # the seen shards (fused in expand.py). Only per-batch counts
+                # come back; candidates never hit the object store. The
+                # candidates' one unavoidable all-to-all is the url-hash actor
+                # routing itself.
+                stage = make_parse_store_expand(
+                    start_url,
+                    parent_value,
+                    cfg.max_depth,
+                    store_dir,
+                    offer_to=(shards, r + 1, cfg.seen_shards),
+                    robots_rules=cfg.robots,
+                )
+                counts = fetched.map_batches(
+                    stage,
+                    batch_format="pyarrow",
+                    batch_size=cfg.parse_batch_size,
+                    zero_copy_batch=True,
+                ).materialize()
+                t_parse = time.perf_counter() - t0
+                ctbl = _collect_tables(counts)
+                crawled_this = int(pa.compute.sum(ctbl.column("crawled")).as_py()) if ctbl else 0
+                n_cand = int(pa.compute.sum(ctbl.column("candidates")).as_py()) if ctbl else 0
+
+                t1 = time.perf_counter()
+                ranked, n_new = None, 0
+                if n_cand > 0:
+                    harvests = [s.harvest.remote(r + 1) for s in shards]
+                    if n_cand <= cfg.small_round_rows:
+                        # small round: sort+rank on the driver — a distributed
+                        # execution costs more than the data
+                        tbls = [t for t in ray.get(harvests) if t.num_rows]
+                        if tbls:
+                            tbl = pa.concat_tables(tbls)
+                            order = pa.compute.sort_indices(
+                                tbl, sort_keys=[("claim_key", "ascending")]
+                            )
+                            tbl = tbl.take(order)
+                            ranks = pa.array(
+                                np.arange(next_rank, next_rank + tbl.num_rows, dtype=np.int64)
+                            )
+                            tbl = _decode_candidates(tbl.append_column("rank", ranks))
+                            ranked = ray.data.from_arrow(tbl)
+                            n_new = tbl.num_rows
+                    else:
+                        new = ray.data.from_arrow_refs(harvests)
+                        ranked, n_new = assign_ranks(
+                            new.sort("claim_key"),
+                            next_rank,
+                            col="rank",
+                            post_fn=_decode_candidates,
                         )
-                        tbl = tbl.take(order)
-                        ranks = pa.array(
-                            np.arange(next_rank, next_rank + tbl.num_rows, dtype=np.int64)
-                        )
-                        tbl = _decode_candidates(tbl.append_column("rank", ranks))
-                        ranked = ray.data.from_arrow(tbl)
-                        n_new = tbl.num_rows
-                else:
-                    new = ray.data.from_arrow_refs(harvests)
+                t_refill = time.perf_counter() - t1
+            else:
+                cand = fetched.map_batches(
+                    make_parse_store_expand(
+                        start_url, parent_value, cfg.max_depth, store_dir
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=cfg.parse_batch_size,
+                    zero_copy_batch=True,
+                )
+                if robots_fn is not None:
+                    cand = cand.map_batches(robots_fn, batch_format="pyarrow")
+                cand = cand.materialize()  # store parts + candidates exactly once
+                t_parse = time.perf_counter() - t0
+
+                crawled_this = _store_rows_count(store_dir)
+                n_cand = cand.count()
+
+                t1 = time.perf_counter()
+                ranked, n_new = None, 0
+                if n_cand > 0:
+                    uniq = cand.groupby("url").aggregate(
+                        Min("claim_key", alias_name="claim_key")
+                    )
+                    new = uniq.map_batches(
+                        make_seen_filter(shards, r + 1, cfg.seen_shards),
+                        batch_format="pyarrow",
+                    )
+                    # decode fused into the rank tasks — one execution for
+                    # groupby→seen→sort→rank→decode
                     ranked, n_new = assign_ranks(
                         new.sort("claim_key"),
                         next_rank,
                         col="rank",
                         post_fn=_decode_candidates,
                     )
-            t_refill = time.perf_counter() - t1
-        else:
-            cand = fetched.map_batches(
-                make_parse_store_expand(
-                    start_url, parent_value, cfg.max_depth, store_dir
-                ),
-                batch_format="pyarrow",
-                batch_size=cfg.parse_batch_size,
-                zero_copy_batch=True,
+                t_refill = time.perf_counter() - t1
+
+            next_rank += n_new
+            total_calls += n_fetch
+            crawled_cum += crawled_this
+            pending_count = n_defer + n_new
+
+            # next frontier = lazy union of already-materialized parts (no extra
+            # execution; counts are known arithmetically)
+            parts = []
+            if deferred is not None and n_defer > 0:
+                parts.append(deferred.select_columns(FRONTIER_COLS).materialize())
+            if ranked is not None:
+                parts.append(ranked)
+            pending = _union_parts(parts)
+
+            metrics.append(
+                {
+                    "round": r,
+                    "fetched": n_fetch,
+                    "crawled": crawled_this,
+                    "misses": n_fetch - crawled_this,
+                    "claimed": n_new,
+                    "candidates": n_cand,
+                    "deferred": n_defer,
+                    "elapsed_s": time.perf_counter() - t0,
+                    "t_fetch_parse": t_parse,
+                    "t_frontier_refill": t_refill,
+                    "total_calls": total_calls,
+                    "crawled_cum": crawled_cum,
+                    "next_rank": next_rank,
+                }
             )
-            if robots_fn is not None:
-                cand = cand.map_batches(robots_fn, batch_format="pyarrow")
-            cand = cand.materialize()  # store parts + candidates exactly once
-            t_parse = time.perf_counter() - t0
+            # checkpoint r overlaps round r+1's heavy execution via a single
+            # writer thread; threads are serialized (join before submit) so
+            # round dirs promote strictly in order — resume correctness depends
+            # on rounds/rK existing for every K < last
+            if pending_count == 0:
+                p_tbls, p_big = [], None
+            elif pending_count <= cfg.small_checkpoint_rows:
+                p_tbls = [t for p in parts for t in [_collect_tables(p)] if t is not None]
+                p_big = None
+            else:
+                p_tbls, p_big = [], _union_parts(parts)
+            if ckpt_thread is not None:
+                ckpt_thread.join_and_raise()
+            ckpt_thread = _CheckpointThread(
+                out_dir,
+                r,
+                p_tbls,
+                pending_count,
+                p_big,
+                seed_tbl if r == 0 else None,
+                list(metrics),
+            )
+            ckpt_thread.start()
+            seed_tbl = None
+            round_idx += 1
+            rounds_run += 1
 
-            crawled_this = _store_rows_count(store_dir)
-            n_cand = cand.count()
-
-            t1 = time.perf_counter()
-            ranked, n_new = None, 0
-            if n_cand > 0:
-                uniq = cand.groupby("url").aggregate(
-                    Min("claim_key", alias_name="claim_key")
-                )
-                new = uniq.map_batches(
-                    make_seen_filter(shards, r + 1, cfg.seen_shards),
-                    batch_format="pyarrow",
-                )
-                # decode fused into the rank tasks — one execution for
-                # groupby→seen→sort→rank→decode
-                ranked, n_new = assign_ranks(
-                    new.sort("claim_key"),
-                    next_rank,
-                    col="rank",
-                    post_fn=_decode_candidates,
-                )
-            t_refill = time.perf_counter() - t1
-
-        next_rank += n_new
-        total_calls += n_fetch
-        crawled_cum += crawled_this
-        pending_count = n_defer + n_new
-
-        # next frontier = lazy union of already-materialized parts (no extra
-        # execution; counts are known arithmetically)
-        parts = []
-        if deferred is not None and n_defer > 0:
-            parts.append(deferred.select_columns(FRONTIER_COLS).materialize())
-        if ranked is not None:
-            parts.append(ranked)
-        pending = _union_parts(parts)
-
-        metrics.append(
-            {
-                "round": r,
-                "fetched": n_fetch,
-                "crawled": crawled_this,
-                "misses": n_fetch - crawled_this,
-                "claimed": n_new,
-                "candidates": n_cand,
-                "deferred": n_defer,
-                "elapsed_s": time.perf_counter() - t0,
-                "t_fetch_parse": t_parse,
-                "t_frontier_refill": t_refill,
-                "total_calls": total_calls,
-                "crawled_cum": crawled_cum,
-                "next_rank": next_rank,
-            }
-        )
-        # checkpoint r overlaps round r+1's heavy execution via a single
-        # writer thread; threads are serialized (join before submit) so
-        # round dirs promote strictly in order — resume correctness depends
-        # on rounds/rK existing for every K < last
-        if pending_count == 0:
-            p_tbls, p_big = [], None
-        elif pending_count <= cfg.small_checkpoint_rows:
-            p_tbls = [t for p in parts for t in [_collect_tables(p)] if t is not None]
-            p_big = None
-        else:
-            p_tbls, p_big = [], _union_parts(parts)
         if ckpt_thread is not None:
             ckpt_thread.join_and_raise()
-        ckpt_thread = _CheckpointThread(
-            out_dir,
-            r,
-            p_tbls,
-            pending_count,
-            p_big,
-            seed_tbl if r == 0 else None,
-            list(metrics),
-        )
-        ckpt_thread.start()
-        seed_tbl = None
-        round_idx += 1
-        rounds_run += 1
-
-    if ckpt_thread is not None:
-        ckpt_thread.join_and_raise()
-    seen_count = sum(ray.get([s.n_items.remote() for s in shards]))
-    for s in shards:
-        ray.kill(s)
+        seen_count = sum(ray.get([s.n_items.remote() for s in shards]))
+        intr.check()  # a deferred Ctrl-C surfaces before reporting success
+    finally:
+        # restore the SIGINT handler WITHOUT raising (a raise here would
+        # mask the original exception), then release distributed state:
+        # the checkpoint writer thread and the seen-shard actors must
+        # not outlive a failed crawl for the rest of the Ray session
+        intr._old is not None and signal.signal(signal.SIGINT, intr._old)
+        if ckpt_thread is not None and ckpt_thread.is_alive():
+            ckpt_thread.join()
+        for s in shards:
+            ray.kill(s)
     return CrawlResult(
         out_dir=out_dir,
         rounds=metrics,

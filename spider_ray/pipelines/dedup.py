@@ -57,7 +57,11 @@ _ROWS_PER_BAND = _MINHASH_PERMS // _BANDS
 
 
 def _docs(sf_dir: str, columns):
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    from spider_ray.blockutil import strip_schema_metadata
+
+    return strip_schema_metadata(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    )
 
 
 def shingle_set(text: str, n: int = 3) -> set[str]:
@@ -323,10 +327,14 @@ def embedding_near_dup_pairs(
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     slice_ref = ray.put((ids, m))
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-        filter=pc.field("vec_id") < max_id,
+    from spider_ray.blockutil import strip_schema_metadata
+
+    ds = strip_schema_metadata(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id") < max_id,
+        )
     )
 
     def pairs(batch: pd.DataFrame) -> pa.Table:

@@ -9,6 +9,7 @@ import glob
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import ray
 from ray.data import Dataset
@@ -64,6 +65,106 @@ def drop_store(out_dir: str) -> None:
     prefix delete, since bodies live inline in the store parquet."""
     shutil.rmtree(os.path.join(out_dir, "store"), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, "rounds"), ignore_errors=True)
+
+
+def _store_files(out_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(out_dir, "store", "r[0-9]*", "*.parquet")))
+
+
+def _files_containing(out_dir: str, key: str) -> list[str]:
+    """Store part files that may hold ``key`` — pruned by parquet row-group
+    statistics (count_rows reads stats, not data), so a single-url operation
+    touches O(1) part files, not the store."""
+    import pyarrow.dataset as pads
+
+    hits = []
+    for f in _store_files(out_dir):
+        if pads.dataset([f]).count_rows(filter=pads.field("url") == key) > 0:
+            hits.append(f)
+    return hits
+
+
+def _rewrite_part(path: str, tbl) -> None:
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(os.path.dirname(path), f".{os.path.basename(path)}.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def delete_url(out_dir: str, url: str) -> bool:
+    """Single-url delete (reference ``html_file_writer.py:38-45`` delete +
+    the DB row delete): locate the part file(s) holding the url via
+    statistics pruning and atomically rewrite them without its rows.
+    Returns True iff a row was deleted."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = canonicalize(ensure_scheme(url))
+    deleted = False
+    for f in _files_containing(out_dir, key):
+        tbl = pq.read_table(f)
+        keep = pc.invert(pc.equal(tbl.column("url"), key))
+        kept = tbl.filter(keep)
+        if kept.num_rows < tbl.num_rows:
+            deleted = True
+            if kept.num_rows:
+                _rewrite_part(f, kept)
+            else:
+                os.remove(f)
+    return deleted
+
+
+def upsert_url(
+    out_dir: str, url: str, title: str, text: str, overwrite: bool = True
+) -> dict | None:
+    """Single-url upsert with the reference's overwrite-flag semantics
+    (postgres_database.py:162-182): when the url exists and ``overwrite``
+    is False, nothing changes and the OLD row is returned; when it exists
+    and ``overwrite`` is True, its title/text are replaced in place (parent,
+    depth and discovery_rank are preserved so catch/canonical ordering is
+    stable) and the old row is returned; when absent, a new row is appended
+    (depth 0, rank = max+1) and None is returned."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from spider_ray.stages.expand import STORE_SCHEMA
+
+    key = canonicalize(ensure_scheme(url))
+    hits = _files_containing(out_dir, key)
+    if hits:
+        f = hits[0]
+        tbl = pq.read_table(f)
+        mask = pc.equal(tbl.column("url"), key)
+        idx = int(np.flatnonzero(mask.to_numpy(zero_copy_only=False))[0])
+        old = {c: tbl.column(c)[idx].as_py() for c in tbl.schema.names}
+        if not overwrite:
+            return old
+        cols = {c: tbl.column(c).to_pylist() for c in tbl.schema.names}
+        cols["title"][idx] = title
+        cols["text"][idx] = text
+        _rewrite_part(f, pa.table(cols, schema=tbl.schema))
+        return old
+
+    ds = read_store(out_dir)
+    max_rank = int(ds.max("discovery_rank")) if ds.count() else -1
+    rounds = sorted(glob.glob(os.path.join(out_dir, "store", "r[0-9]*")))
+    rdir = rounds[-1] if rounds else os.path.join(out_dir, "store", "r0000")
+    os.makedirs(rdir, exist_ok=True)
+    row = pa.table(
+        {
+            "url": [key],
+            "title": [title],
+            "parent": [human_repr(key)],
+            "text": [text],
+            "depth": pa.array([0], "int32"),
+            "discovery_rank": [max_rank + 1],
+        },
+        schema=STORE_SCHEMA,
+    )
+    _rewrite_part(os.path.join(rdir, f"part-upsert-{max_rank + 1}.parquet"), row)
+    return None
 
 
 def compact_store(out_dir: str, target_rows_per_file: int = 500_000) -> int:

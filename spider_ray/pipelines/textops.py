@@ -36,6 +36,13 @@ TOKEN_RE = r"\S+"
 # the "BPE-ish" token estimate used for budget accounting
 BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 PUNCT_RE = r"[.,;:!?]"
+# ORACLE CONTRACT on \b: Python re's \b is Unicode-aware, DuckDB RE2's is
+# ASCII; they agree whenever a marker word's neighbors are ASCII-vs-ASCII or
+# ASCII-vs-space (true for this corpus generator and typical Latin-script
+# text) but can diverge on mixed-script text, e.g. an ASCII word glued to
+# CJK characters. RE2 has no lookahead, so an explicitly-ASCII boundary
+# cannot be written identically on both sides — the single-script
+# assumption is therefore part of these queries' oracle contract.
 STOP_RE = r"\b(?:the|and|of|to|in|a|is)\b"
 
 # language marker words; priority order en > de > es > fr > zh on ties

@@ -16,10 +16,12 @@ link generation crawler.py:140-154):
       canonicalized and quirk-filtered (canonical.generate_refs).
 
 The store part file is the reference's fire-and-forget ``db.save``
-(crawler.py:106-112) made durable: content is deterministic per round, file
-names are not (uuid per task attempt). A task retried by Ray AFTER its
-rename could duplicate a part; ``finalize_store`` dedups by url if exactness
-after failures is required.
+(crawler.py:106-112) made durable AND retry-idempotent: the part file name
+is derived from the batch's content (md5 of its discovery_ranks — globally
+unique within a crawl), so a task retried by Ray after its rename rewrites
+the SAME file via tmp+rename instead of duplicating rows. ``finalize_store``
+remains as a belt-and-braces net for exactness under adversarial failure
+modes (e.g. a retry that re-batches differently).
 
 HTML parsing is irreducibly per-document Python (stdlib html.parser, no
 vectorized kernel exists); the loop is over a batch inside one task, with
@@ -28,8 +30,8 @@ everything around it (take/filter/encode) vectorized Arrow.
 
 from __future__ import annotations
 
+import hashlib
 import os
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -119,7 +121,13 @@ def make_parse_store_expand(
                 ],
                 schema=STORE_SCHEMA,
             )
-            name = f"part-{uuid.uuid4().hex}.parquet"
+            # deterministic per-batch name: ranks are unique across the
+            # crawl, so a retried task OVERWRITES its own part instead of
+            # duplicating it (and distinct batches can never collide)
+            digest = hashlib.md5(
+                np.asarray(ranks, dtype=np.int64).tobytes()
+            ).hexdigest()
+            name = f"part-{digest}.parquet"
             tmp = os.path.join(store_dir, f".{name}.tmp")
             pq.write_table(store, tmp)
             os.replace(tmp, os.path.join(store_dir, name))

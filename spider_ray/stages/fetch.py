@@ -165,20 +165,25 @@ _REF_CACHE: dict = {}
 def load_corpus_ref(corpus_path: str):
     """Driver-side: read the corpus (url+html only — prune at the read) and
     put it in the object store once for all fetch workers. Memoized per
-    path so repeated crawls (warmup + measured run, kill + resume) share one
-    broadcast copy and the per-worker index caches stay hot."""
+    (path, file list, max mtime) so repeated crawls (warmup + measured run,
+    kill + resume) share one broadcast copy while a corpus REGENERATED at
+    the same path within one Ray session is re-read instead of silently
+    serving stale pages."""
     import pyarrow.parquet as pq
     import glob
     import os
 
-    key = os.path.abspath(corpus_path)
+    root = os.path.abspath(corpus_path)
+    paths = (
+        sorted(glob.glob(os.path.join(root, "*.parquet")))
+        if os.path.isdir(root)
+        else [root]
+    )
+    key = (root, tuple(paths), max((os.path.getmtime(p) for p in paths), default=0))
     if key in _REF_CACHE:
         return _REF_CACHE[key]
-    paths = (
-        sorted(glob.glob(os.path.join(key, "*.parquet")))
-        if os.path.isdir(key)
-        else [key]
-    )
+    _REF_CACHE.clear()  # one corpus per session is the common case — don't
+    # pin superseded broadcast tables in the object store
     big = pa.schema([("url", pa.string()), ("html", pa.large_binary())])
     tbl = pa.concat_tables(
         pq.read_table(p, columns=["url", "html"]).cast(big) for p in paths
