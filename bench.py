@@ -28,13 +28,18 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# bench corpus shape: 64 hosts (host 0 hot), fan-out 8, prose-sized pages
+# bench corpus shape: 64 hosts (host 0 hot), fan-out 8, prose-sized pages.
+# 30M pages/sf (3M at the driver's sf0.1) sizes the crawl so the per-round
+# serial floor (~5-7 s: Ray Data execution startup ×7 rounds + actor spawn +
+# driver harvest) amortizes against ~500 CPU-s of parallel work — the
+# regime the 10^10-URL design point actually lives in; scaling efficiency
+# measured on a tiny crawl measures the floor, not the engine.
 CORPUS_HOSTS = 64
 CORPUS_LINKS = 10
 CORPUS_WORDS = 300
-CORPUS_PAGES_PER_SF = 10_000_000
+CORPUS_PAGES_PER_SF = 30_000_000
 SEEDS = [f"https://h{k}.example/p0" for k in range(64)]
-CRAWL_DEPTH = 6
+CRAWL_DEPTH = 7  # exhausts ~3M of the 3M-page sf0.1 corpus in 8 rounds
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -60,25 +65,42 @@ def _ensure_corpus(sf: float) -> str:
     return path
 
 
-def run_crawl(corpus: str, tag: str) -> dict:
+def run_crawl(corpus: str, tag: str, reps: int = 3) -> dict:
+    """Steady-state crawl throughput: corpus broadcast + worker prewarm +
+    ONE untimed warmup crawl (faults plasma pages, spawns every worker the
+    run will use), then min-of-``reps`` timed crawls — the guide's "warm
+    first, measure compute + shuffle". A cold first crawl carries ~10-20 s
+    of one-time page-fault/worker-spawn cost that is CONSTANT in cluster
+    size and therefore poisons any N-vs-4N ratio."""
     import shutil
 
     from spider_ray.pipelines.crawl import crawl
 
     out = f"/tmp/spider_ray_bench/out_{tag}"
-    shutil.rmtree(out, ignore_errors=True)
-    # corpus broadcast + per-worker index warmup are input loading, done once
-    # per job — excluded from the crawl timing (guide: warm first, measure
-    # compute + shuffle)
     import ray
 
     from spider_ray.stages.fetch import load_corpus_ref, prewarm_workers
 
     ref = load_corpus_ref(corpus)
     prewarm_workers(ref, int(ray.cluster_resources().get("CPU", 4)))
-    t0 = time.perf_counter()
-    res = crawl(corpus, SEEDS, out, max_depth=CRAWL_DEPTH)
-    elapsed = time.perf_counter() - t0
+    # seen shards scale WITH the cluster (SCALE.md: K ≈ nodes or a small
+    # multiple) — a fixed shard count becomes the offer bottleneck once the
+    # per-round candidate volume outgrows it
+    n_shards = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    shutil.rmtree(out, ignore_errors=True)
+    crawl(corpus, SEEDS, out, max_depth=CRAWL_DEPTH, seen_shards=n_shards)  # warmup
+    best = None
+    for _ in range(reps):
+        shutil.rmtree(out, ignore_errors=True)
+        os.sync()  # flush the previous crawl's dirty store pages OUTSIDE
+        # the timing window — writeback from an earlier (or another
+        # level's) run otherwise lands inside a later timed rep
+        t0 = time.perf_counter()
+        res = crawl(corpus, SEEDS, out, max_depth=CRAWL_DEPTH, seen_shards=n_shards)
+        elapsed = time.perf_counter() - t0
+        if best is None or elapsed < best[0]:
+            best = (elapsed, res)
+    elapsed, res = best
     frontier_ops = sum(m["candidates"] + m["claimed"] + m["fetched"] for m in res.rounds)
     return {
         "sec": elapsed,
@@ -135,6 +157,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 def main() -> None:
     import ray
 
+    # Pin this process (and every Ray process it spawns — they inherit the
+    # mask) to exactly NCPU host processors: an N-node cluster runs its
+    # actors, raylets and drivers INSIDE its N nodes' cores, so the faithful
+    # N-vs-4N comparison gives each level proportional machine resources.
+    # Without this the small level borrows idle host cores for the seen-shard
+    # actors and system threads — a subsidy a real cluster never gets.
+    try:
+        os.sched_setaffinity(0, set(range(NCPU)))
+    except (AttributeError, OSError, ValueError):
+        pass
+
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -152,13 +185,8 @@ def main() -> None:
 
     sf = _sf_of(SF_DIR)
     corpus = _ensure_corpus(sf)
-    # warm page cache so we measure compute+shuffle, not first disk read
-    import pyarrow.parquet as pq
-    import glob
-
-    for p in glob.glob(os.path.join(corpus, "*.parquet")):
-        pq.read_table(p)
-
+    # (no separate page-cache warm pass: load_corpus_ref inside run_crawl
+    # reads the files — once — and is excluded from the crawl timing)
     crawl_stats = run_crawl(corpus, f"cpu{NCPU}")
     queries = {} if "--crawl-only" in sys.argv else run_queries(SF_DIR)
 
@@ -192,20 +220,17 @@ def scaling() -> None:
     measurements recorded in BASELINE.md."""
     results = {}
     for ncpu in (4, 16, 8, 32):
-        best = None
-        for _rep in range(2):  # min-of-2: the virtualized host is noisy
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-            run = json.loads(out.strip().splitlines()[-1])
-            if best is None or run["value"] < best["value"]:
-                best = run
-        results[ncpu] = best
+        # one fresh process per level; run_crawl inside it does an untimed
+        # warmup crawl + min-of-2 timed reps (the host is noisy)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
 
     def eff(lo, hi):
         return round((results[lo]["value"] / results[hi]["value"]) / (hi / lo), 3)

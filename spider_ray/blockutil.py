@@ -25,15 +25,24 @@ def strip_schema_metadata(ds: Dataset) -> Dataset:
     )
 
 
-def drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema) -> Dataset:
+def drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema | None = None) -> Dataset:
     """Materialize ``ds`` and rebuild it from its non-empty block refs only
     (block METADATA is inspected, blocks are never fetched to the driver).
 
-    Needed because Ray's hash-aggregate represents empty output partitions
-    as ZERO-COLUMN blocks, ``map_batches`` skips empty blocks entirely (so
-    they cannot be normalized downstream), and Arrow's join raises on a
-    columnless partition. Any aggregate output that feeds a ``Dataset.join``
-    must pass through here."""
+    EVERY ``Dataset.join`` input must pass through here (ray 2.49): the
+    hash-shuffle operator broadcasts each input's schema to the aggregators
+    via empty blocks piggybacked on the FIRST submitted shuffle task
+    (hash_shuffle.py:584 ``send_empty_blocks=should_broadcast_schemas``),
+    but a shuffle task whose input block is empty returns early WITHOUT
+    sending anything (hash_shuffle.py:223) — so when an empty block happens
+    to be the first one submitted, partitions that receive no data rows get
+    ZERO-COLUMN tables and Arrow's join raises ``No match or multiple
+    matches for key field reference``. Block arrival order is
+    load-dependent, which made this a flake. Related: the hash-aggregate
+    itself emits zero-column blocks for empty output partitions, and
+    ``map_batches`` skips empty blocks entirely, so they cannot be
+    normalized by a downstream transform — dropping the blocks is the only
+    reliable fix."""
     mds = ds.materialize()
     refs = []
     for bundle in mds.iter_internal_ref_bundles():
@@ -41,5 +50,8 @@ def drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema) -> Dataset:
             if meta.num_rows:
                 refs.append(ref)
     if not refs:
+        if empty_schema is None:
+            base = getattr(mds.schema(), "base_schema", None)
+            empty_schema = base if isinstance(base, pa.Schema) else pa.schema([])
         return ray.data.from_arrow(empty_schema.empty_table())
     return ray.data.from_arrow_refs(refs)

@@ -12,7 +12,9 @@ each round is one streaming Dataset pipeline:
         → parse + store-part write + robots gate
         → dedup+claim OFFER to seen shards  [all-to-all = url-hash routing]
     → HARVEST winners per shard → sort(claim_key) + dense rank
-      (driver-side under 2M rows, distributed sort+rank beyond)
+      (small rounds: driver sort + PARALLEL per-slice decode tasks whose
+      output slices double as the next round's pre-split input blocks AND
+      the checkpoint payload; large rounds: distributed sort+rank)
     → union with deferred → next pending
 
 (dedup_mode="groupby" keeps the equivalent Dataset-native pipeline:
@@ -37,6 +39,7 @@ Scale notes (the 100 TB / 10^10-URL design point):
 from __future__ import annotations
 
 import glob
+import logging
 import os
 import shutil
 import signal
@@ -64,6 +67,12 @@ from spider_ray.stages.politeness import politeness_split
 from spider_ray.stages.rank import assign_ranks
 from spider_ray.state.seen import UrlSeenShard, shard_of
 
+# the reference's logging surface (spider/controllers/core/loggers —
+# ``crawl_info`` lines consumed by its log-based tests): one structured
+# info line per round + a completion line, on a dedicated logger users can
+# route or silence independently of ray.data's loggers
+LOG = logging.getLogger("spider_ray.crawl")
+
 FRONTIER_COLS = ["url", "host", "depth", "rank"]
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -75,15 +84,16 @@ FRONTIER_SCHEMA = pa.schema(
 )
 
 
-# checkpoints up to this many rows are collected and written by the driver
-# (zero extra Dataset executions, overlapped with the next round); larger
-# ones stream via write_parquet
-_SMALL_CHECKPOINT_ROWS = 2_000_000
+# checkpoints up to this many rows are written by the driver-side writer
+# thread (zero extra Dataset executions, overlapped with the next round);
+# larger ones stream via write_parquet
+_SMALL_CHECKPOINT_ROWS = 8_000_000
 # rounds with at most this many candidates rank on the driver — frontier
-# rows are ~100 B of metadata, so even 2M rows is ~200 MB moved once and a
-# sub-second driver sort, cheaper than a distributed sort execution; beyond
-# that the distributed sort+rank path takes over
-_SMALL_ROUND_ROWS = 2_000_000
+# rows are ~100 B of metadata, so even 8M rows is ~800 MB moved once and a
+# sub-second driver sort (decode runs as parallel slice tasks), cheaper
+# than a distributed sort execution; beyond that the distributed sort+rank
+# path takes over
+_SMALL_ROUND_ROWS = 8_000_000
 
 
 @dataclass
@@ -104,7 +114,12 @@ class CrawlConfig:
     # | "indexed_actors" (same, actor pool) | "join" (hash join vs corpus)
     fetch_concurrency: int = 4
     fetch_batch_size: int = 1024
-    parse_batch_size: int = 256
+    # parse batches bound BOTH per-batch memory (html + parsed text) AND the
+    # dedup-offer granularity: each batch locally min-key-dedups its
+    # candidates then blocks once on its shard offers, so bigger batches
+    # mean fewer actor round-trips AND a better local dedup rate (links of
+    # neighboring pages overlap heavily) — 2048 pages ≈ 8-16 MB per batch
+    parse_batch_size: int = 2048
     join_partitions: int = 8
     prewarm: bool = False  # pre-build the corpus index in every worker
     # rows under these thresholds are ranked / checkpointed on the driver
@@ -175,6 +190,14 @@ def _decode_candidates(batch: pa.Table) -> pa.Table:
     return out.select(FRONTIER_COLS)
 
 
+@ray.remote
+def _decode_block_task(batch: pa.Table) -> pa.Table:
+    """Per-slice candidate decode (depth bits + host regex) as a parallel
+    task — the host extraction costs ~0.6 s/M rows, serial driver time the
+    refill path cannot afford on multi-million-claim rounds."""
+    return _decode_candidates(batch)
+
+
 def _seed_frontier(
     seeds: list[str],
     shards: list,
@@ -215,6 +238,16 @@ def _seed_frontier(
 
 
 
+def _target_blocks(n_rows: int, cpus: int, batch_size: int) -> int:
+    """Block count for a round's frontier: enough blocks that every CPU has
+    work, capped so blocks never get degenerate."""
+    desired = max(
+        -(-n_rows // batch_size),  # ceil
+        min(cpus, -(-n_rows // 64)),
+    )
+    return max(1, min(desired, 4 * cpus))
+
+
 def _collect_tables(ds: Dataset) -> pa.Table | None:
     tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     if not tbls:
@@ -230,6 +263,7 @@ def _checkpoint_round(
     pending_big: Dataset | None,
     seed_tbl: pa.Table | None,
     metrics: list[dict],
+    pending_refs: list | None = None,
 ) -> None:
     """Write round r's checkpoint and atomically promote it.
 
@@ -246,6 +280,13 @@ def _checkpoint_round(
     if n_pending == 0:
         pq.write_table(
             FRONTIER_SCHEMA.empty_table(), os.path.join(tmp, "frontier", "empty.parquet")
+        )
+    elif pending_refs is not None:
+        # decoded frontier slices are already in the object store — collect
+        # them HERE, on the writer thread, overlapped with the next round
+        pq.write_table(
+            pa.concat_tables(ray.get(list(pending_refs))).select(FRONTIER_SCHEMA.names),
+            os.path.join(tmp, "frontier", "data.parquet"),
         )
     elif pending_big is not None:
         pending_big.write_parquet(os.path.join(tmp, "frontier"))
@@ -437,6 +478,11 @@ def crawl(
     shards = [
         SeenActor.remote(cfg.seen_mode, cfg.bloom_bits) for _ in range(cfg.seen_shards)
     ]
+    for s in shards:
+        s.n_items.remote()  # fire-and-forget: actor processes start spawning
+        # NOW, overlapped with driver-side seed normalization — otherwise the
+        # spawn (~1-2 s for 8 processes) lands on round 0's critical path at
+        # the first claim/offer
     corpus_ref = (
         load_corpus_ref(corpus_path) if cfg.fetch_mode.startswith("indexed") else None
     )
@@ -469,6 +515,7 @@ def crawl(
 
     rounds_run = 0
     ckpt_thread: threading.Thread | None = None
+    pending_presplit = False  # True when pending is already driver-sliced
     intr = _DeferSigint()
     intr.__enter__()  # defer Ctrl-C to round boundaries
     try:
@@ -487,15 +534,14 @@ def crawl(
 
             # fetch/parse parallelism == input block count: split the round's
             # frontier so every CPU gets work (a sorted/unioned frontier often
-            # arrives as 1-2 blocks), capped so blocks never get degenerate
+            # arrives as 1-2 blocks), capped so blocks never get degenerate.
+            # Skipped when last round's refill already pre-split the frontier
+            # driver-side (_presplit_table) — one less stage per round.
             cpus = int(ray.cluster_resources().get("CPU", 4))
-            desired = max(
-                -(-n_fetch // cfg.fetch_batch_size),  # ceil
-                min(cpus, -(-n_fetch // 64)),
-            )
-            target_blocks = max(1, min(desired, 4 * cpus))
-            if n_fetch > 0:
+            target_blocks = _target_blocks(n_fetch, cpus, cfg.fetch_batch_size)
+            if n_fetch > 0 and not (pending_presplit and deferred is None):
                 fetch_now = fetch_now.repartition(target_blocks)
+            ranked_tbl = None  # set by the small-round refill path
 
             if cfg.fetch_mode in ("indexed", "indexed_actors"):
                 fetched = fetch_indexed(
@@ -582,9 +628,24 @@ def crawl(
                             ranks = pa.array(
                                 np.arange(next_rank, next_rank + tbl.num_rows, dtype=np.int64)
                             )
-                            tbl = _decode_candidates(tbl.append_column("rank", ranks))
-                            ranked = ray.data.from_arrow(tbl)
+                            tbl = tbl.append_column("rank", ranks)
                             n_new = tbl.num_rows
+                            # pre-split for the NEXT round's fetch (skips a
+                            # repartition stage per round) with the decode
+                            # running as PARALLEL per-slice tasks; the
+                            # checkpoint writer collects the same decoded
+                            # refs on its own thread (no put/get round trip
+                            # and no serial decode on the driver)
+                            nblocks = _target_blocks(n_new, cpus, cfg.fetch_batch_size)
+                            step = -(-n_new // nblocks)
+                            dec_refs = [
+                                _decode_block_task.remote(
+                                    tbl.slice(i, min(step, n_new - i))
+                                )
+                                for i in range(0, n_new, step)
+                            ]
+                            ranked = ray.data.from_arrow_refs(dec_refs)
+                            ranked_tbl = dec_refs
                     else:
                         new = ray.data.from_arrow_refs(harvests)
                         ranked, n_new = assign_ranks(
@@ -644,6 +705,7 @@ def crawl(
             if ranked is not None:
                 parts.append(ranked)
             pending = _union_parts(parts)
+            pending_presplit = ranked_tbl is not None and len(parts) == 1
 
             metrics.append(
                 {
@@ -662,14 +724,33 @@ def crawl(
                     "next_rank": next_rank,
                 }
             )
+            LOG.info(
+                "crawl_info round=%d fetched=%d crawled=%d misses=%d "
+                "claimed=%d deferred=%d elapsed=%.2fs",
+                r,
+                n_fetch,
+                crawled_this,
+                n_fetch - crawled_this,
+                n_new,
+                n_defer,
+                metrics[-1]["elapsed_s"],
+            )
             # checkpoint r overlaps round r+1's heavy execution via a single
             # writer thread; threads are serialized (join before submit) so
             # round dirs promote strictly in order — resume correctness depends
             # on rounds/rK existing for every K < last
+            p_refs = None
             if pending_count == 0:
                 p_tbls, p_big = [], None
             elif pending_count <= cfg.small_checkpoint_rows:
-                p_tbls = [t for p in parts for t in [_collect_tables(p)] if t is not None]
+                if pending_presplit:
+                    # decoded frontier slice refs — the writer thread
+                    # collects them itself (no put/get round trip here)
+                    p_tbls, p_refs = [], list(ranked_tbl)
+                else:
+                    p_tbls = [
+                        t for p in parts for t in [_collect_tables(p)] if t is not None
+                    ]
                 p_big = None
             else:
                 p_tbls, p_big = [], _union_parts(parts)
@@ -683,6 +764,7 @@ def crawl(
                 p_big,
                 seed_tbl if r == 0 else None,
                 list(metrics),
+                p_refs,
             )
             ckpt_thread.start()
             seed_tbl = None
@@ -692,6 +774,14 @@ def crawl(
         if ckpt_thread is not None:
             ckpt_thread.join_and_raise()
         seen_count = sum(ray.get([s.n_items.remote() for s in shards]))
+        LOG.info(
+            "crawl_done rounds=%d crawled=%d total_calls=%d seen=%d finished=%s",
+            len(metrics),
+            crawled_cum,
+            total_calls,
+            seen_count,
+            pending_count == 0,
+        )
         intr.check()  # a deferred Ctrl-C surfaces before reporting success
     finally:
         # restore the SIGINT handler WITHOUT raising (a raise here would

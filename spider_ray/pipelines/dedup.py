@@ -159,8 +159,11 @@ def minhash_lsh_pairs(
     if isinstance(docs, str):
         docs = _docs(docs, ["doc_id", "text"])
     # materialized so banding + the two verify joins reuse one sketch pass
-    # instead of re-reading text per consumption; sketches spill fine
-    sk = sketch_documents(docs).materialize()
+    # instead of re-reading text per consumption; sketches spill fine.
+    # (_drop_empty_blocks on every join input — see blockutil docstring.)
+    sk = _drop_empty_blocks(
+        sketch_documents(docs), pa.schema([("doc_id", pa.int64()), ("sh", _SKETCH_TYPE)])
+    )
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
@@ -191,7 +194,17 @@ def minhash_lsh_pairs(
             }
         )
 
-    bands = sk.map_batches(to_bands, batch_format="pyarrow")
+    bands = _drop_empty_blocks(
+        sk.map_batches(to_bands, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("band_id", pa.int32()),
+                ("k1", pa.int64()),
+                ("k2", pa.int64()),
+                ("doc_id", pa.int64()),
+            ]
+        ),
+    )
 
     # candidate pairs = band-key self-join (each LSH bucket × itself),
     # ordered a < b — fully vectorized, no per-bucket Python
@@ -230,7 +243,7 @@ def minhash_lsh_pairs(
         num_partitions=num_partitions,
         on=("doc_a",),
     )
-    with_ab = with_a.join(
+    with_ab = _drop_empty_blocks(with_a).join(
         sk.rename_columns({"doc_id": "doc_b", "sh": "sh_b"}),
         join_type="inner",
         num_partitions=num_partitions,

@@ -14,6 +14,25 @@ from __future__ import annotations
 from spider_ray.pipelines import ann, dedup, multimodal, relational, textops
 
 
+def embedding_topk_ivf_bucketed(sf_dir: str):
+    """The ingest-time IVF layout driven end-to-end: cluster-partitioned
+    parquet written under /tmp, then a probe of EVERY bucket (nprobe ==
+    n_clusters → exact, so the brute-force SQL is its oracle; the pruned
+    narrow-probe path is covered by tests/test_ann_index.py)."""
+    import shutil
+    import tempfile
+
+    from spider_ray.pipelines import ann as _ann
+
+    idx = tempfile.mkdtemp(prefix="spider_ray_ivf_")
+    try:
+        _ann.ivf_ingest(sf_dir, idx, n_clusters=8)
+        out = _ann.ivf_topk_bucketed(sf_dir, idx, k=10, query_id=0, nprobe=8)
+        return out[["vec_id"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def crawl_bfs(_sf_dir: str):
     """Flagship crawl over a deterministic synthetic corpus (the pages table
     per BASELINE.json input_hint is NOT part of the driver views, so this is
@@ -75,6 +94,7 @@ QUERIES = {
     "embedding_topk_ivf": lambda sf_dir: ann.ivf_topk(
         sf_dir, k=10, query_id=0, nprobe=16, n_clusters=16
     )[["vec_id"]],
+    "embedding_topk_ivf_bucketed": embedding_topk_ivf_bucketed,
     # multimodal plumbing
     "payload_bytes": multimodal.payload_bytes,
     "image_meta_stub": multimodal.image_meta_stub,
@@ -190,6 +210,11 @@ ORACLE_SQL = {
     ),
     # exact-mode IVF == brute-force top-k (see QUERIES comment)
     "embedding_topk_ivf": (
+        "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id FROM embeddings, q "
+        "ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id LIMIT 10"
+    ),
+    "embedding_topk_ivf_bucketed": (
         "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id FROM embeddings, q "
         "ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id LIMIT 10"

@@ -6,6 +6,7 @@ parquet instead of a SQL database.
 from __future__ import annotations
 
 import glob
+import logging
 import os
 import shutil
 
@@ -17,6 +18,10 @@ from ray.data import Dataset
 from spider_ray.canonical import canonicalize, ensure_scheme, human_repr
 from spider_ray.pipelines.crawl import read_store
 
+# reference db_ops_controller logs one line per operation and its tests
+# assert on them (test_db_ops_controller.py:21-41) — same surface here
+LOG = logging.getLogger("spider_ray.store")
+
 
 def catch(out_dir: str, parent_url: str, limit: int = 10) -> Dataset:
     """'catch': rows by parent + limit (cli.py:54-60 →
@@ -27,6 +32,7 @@ def catch(out_dir: str, parent_url: str, limit: int = 10) -> Dataset:
     import pyarrow.compute as pc
 
     key = human_repr(canonicalize(ensure_scheme(parent_url)))
+    LOG.info("catch parent=%s limit=%d", key, limit)
     ds = read_store(out_dir)
     # vectorized equality filter — NOT an interpolated expr string (the key
     # is percent-DECODED, so it can legally contain quotes/spaces)
@@ -56,13 +62,16 @@ def catch_contains(out_dir: str, fragment: str, limit: int = 10) -> Dataset:
 
 def count_all(out_dir: str) -> int:
     """'cobweb count' (A1, postgres_database.py:184-200)."""
-    return read_store(out_dir).count()
+    n = read_store(out_dir).count()
+    LOG.info("count_all n=%d", n)
+    return n
 
 
 def drop_store(out_dir: str) -> None:
     """'cobweb drop': delete the table AND the page files
     (db_ops_controller.py:71-83 + html_file_writer.py:46-55) — here one
     prefix delete, since bodies live inline in the store parquet."""
+    LOG.info("drop_store out_dir=%s", out_dir)
     shutil.rmtree(os.path.join(out_dir, "store"), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, "rounds"), ignore_errors=True)
 
@@ -101,6 +110,7 @@ def delete_url(out_dir: str, url: str) -> bool:
     import pyarrow.parquet as pq
 
     key = canonicalize(ensure_scheme(url))
+    LOG.info("delete_url url=%s", key)
     deleted = False
     for f in _files_containing(out_dir, key):
         tbl = pq.read_table(f)
@@ -132,6 +142,7 @@ def upsert_url(
     from spider_ray.stages.expand import STORE_SCHEMA
 
     key = canonicalize(ensure_scheme(url))
+    LOG.info("upsert_url url=%s overwrite=%s", key, overwrite)
     hits = _files_containing(out_dir, key)
     if hits:
         f = hits[0]
@@ -235,7 +246,9 @@ def reconcile_stores(old_dir: str, new_dir: str, out_path: str, overwrite: bool 
 
     old = old_ds.map_batches(keyed(0), batch_format="pandas")
     new = read_store(new_dir).map_batches(keyed(1), batch_format="pandas")
-    rows = old.union(new)
+    # every join input must be empty-block-free (blockutil docstring); the
+    # join shuffle materializes the same rows anyway
+    rows = drop_empty_blocks(old.union(new))
 
     winners = rows.groupby("url").aggregate(Min("_k", alias_name="_k"))
     winners = drop_empty_blocks(

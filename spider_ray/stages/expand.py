@@ -139,8 +139,20 @@ def make_parse_store_expand(
 
             shards, round_id, n_shards = offer_to
             if cand_urls:
-                by_shard: dict[int, tuple[list, list]] = {}
+                # LOCAL min-key dedup before offering: a batch's links
+                # heavily overlap (sequential pages of one host link into
+                # the same neighborhood), and the shard actors' per-offer
+                # work is the round's one non-scaling component — shrinking
+                # the offered volume in the (scaling) parse tasks preserves
+                # the result exactly, because offer() itself accumulates
+                # the min key per url.
+                local: dict[str, int] = {}
                 for u, k in zip(cand_urls, cand_keys):
+                    cur = local.get(u)
+                    if cur is None or k < cur:
+                        local[u] = k
+                by_shard: dict[int, tuple[list, list]] = {}
+                for u, k in local.items():
                     s = shard_of(u, n_shards)
                     e = by_shard.get(s)
                     if e is None:

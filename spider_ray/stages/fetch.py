@@ -7,12 +7,12 @@ never retried — reference semantics.
 
 Two physical strategies (SURVEY.md §2.1 S1):
 
-- **indexed** (default): the corpus html table is ``ray.put`` ONCE by the
-  driver; each actor of the ``map_batches`` pool reads it zero-copy from the
-  object store in ``__init__`` and builds a url→row-index hash ONCE, then
-  serves every batch as O(batch) dict lookups + one Arrow ``take``. This is
-  the broadcast-small-side pattern — right whenever the corpus fits the
-  cluster object store.
+- **indexed** (default): the corpus html table AND a hash-sorted url index
+  (two numpy arrays) are ``ray.put`` ONCE by the driver; every worker reads
+  all of it zero-copy from the object store — no per-worker index build at
+  all — and serves each batch with a vectorized ``searchsorted`` + one
+  Arrow ``take``. This is the broadcast-small-side pattern — right whenever
+  the corpus fits the cluster object store.
 - **join**: per round, inner hash-join of the frontier against
   ``read_parquet(corpus, columns=[url, html])`` on ``url``
   (``Dataset.join``, hash-partitioned). Right when the corpus is far larger
@@ -24,31 +24,93 @@ Two physical strategies (SURVEY.md §2.1 S1):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
 
-class _CorpusIndex:
-    """url → row index over the broadcast corpus table; built once per
-    worker process (or per actor) from the zero-copy plasma table."""
+def _url_hash64(u: str) -> int:
+    import hashlib
 
-    def __init__(self, tbl: pa.Table):
-        html = tbl.column("html")
-        # the broadcast table is combined ONCE on the driver before ray.put;
-        # never combine_chunks here — it copies the whole corpus into every
-        # worker's heap (measured 50s+ under 32-way concurrency). chunk(0)
-        # reads the plasma buffers zero-copy.
-        self._html = html.chunk(0) if html.num_chunks == 1 else html.combine_chunks()
-        self._index = {u: i for i, u in enumerate(tbl.column("url").to_pylist())}
+    return int.from_bytes(
+        hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+class _CorpusIndex:
+    """url → row lookup over the broadcast corpus, SHARED via the object
+    store: the driver ships ``(table, sorted_hashes, row_indices)`` where
+    the numpy arrays are a 64-bit-hash-sorted index over the url column.
+    Workers deserialize all three ZERO-COPY from plasma — there is NO
+    per-worker build step (the previous per-worker 3M-entry python dict
+    cost ~8 s and ~400 MB heap in EVERY worker Ray spawned, and a cold
+    worker spawned mid-round stalled its whole block behind the build).
+    Lookups are vectorized: hash the batch urls, ``np.searchsorted`` into
+    the shared index, verify by actual url equality (hash collisions fall
+    back to probing the equal-hash run)."""
+
+    def __init__(self, payload):
+        tbl, self._hashes, self._rows = payload
+        self._urls = tbl.column("url")
+        self._html = tbl.column("html")
+        self._chunk_offsets = np.cumsum(
+            [0] + [len(c) for c in self._html.chunks], dtype=np.int64
+        )
+
+    def _take(self, col: pa.ChunkedArray, rows: np.ndarray) -> pa.Array:
+        """Row take over a MULTI-chunk column without touching untaken
+        chunks (``ChunkedArray.take`` concatenates the whole column
+        internally — a multi-GB copy per call on the broadcast corpus):
+        group the row ids per chunk, take within each chunk, restore the
+        caller's order."""
+        order = np.argsort(rows, kind="stable")
+        srows = rows[order]
+        cid = np.searchsorted(self._chunk_offsets, srows, side="right") - 1
+        parts = []
+        for c in np.unique(cid):
+            sel = srows[cid == c] - self._chunk_offsets[c]
+            parts.append(col.chunk(int(c)).take(pa.array(sel)))
+        merged = pa.concat_arrays(parts) if len(parts) != 1 else parts[0]
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return merged.take(pa.array(inv))
+
+    def _resolve(self, burls: list[str]) -> np.ndarray:
+        """Corpus row per url, -1 for misses."""
+        n = len(self._hashes)
+        bh = np.fromiter((_url_hash64(u) for u in burls), np.uint64, len(burls))
+        pos = np.searchsorted(self._hashes, bh)
+        out = np.full(len(burls), -1, dtype=np.int64)
+        in_range = pos < n
+        cand = np.where(in_range, pos, 0)
+        hash_hit = in_range & (self._hashes[cand] == bh)
+        if hash_hit.any():
+            hit_idx = np.flatnonzero(hash_hit)
+            rows = self._rows[pos[hit_idx]]
+            got = self._take(self._urls, rows).to_pylist()
+            for k, (i, r) in enumerate(zip(hit_idx, rows)):
+                u = burls[i]
+                if got[k] == u:
+                    out[i] = r
+                else:
+                    # 64-bit hash collision (~n²·2⁻⁶⁴): probe the run
+                    p = pos[i]
+                    while p < n and self._hashes[p] == bh[i]:
+                        r2 = int(self._rows[p])
+                        if self._urls[r2].as_py() == u:
+                            out[i] = r2
+                            break
+                        p += 1
+        return out
 
     def lookup(self, batch: pa.Table) -> pa.Table:
-        idx = [self._index.get(u, -1) for u in batch.column("url").to_pylist()]
-        hit_rows = [i for i, j in enumerate(idx) if j >= 0]
-        hit_idx = [j for j in idx if j >= 0]
-        sub = batch.select(["url", "depth", "rank"]).take(pa.array(hit_rows, pa.int64()))
-        html = self._html.take(pa.array(hit_idx, pa.int64()))
+        burls = batch.column("url").to_pylist()
+        idx = self._resolve(burls)
+        hit_rows = np.flatnonzero(idx >= 0)
+        sub = batch.select(["url", "depth", "rank"]).take(pa.array(hit_rows))
+        html = self._take(self._html, idx[hit_rows])
         return sub.append_column("html", html)
 
 
@@ -77,14 +139,22 @@ def make_fetch_fn(table_ref):
 
 
 def prewarm_workers(table_ref, n_workers: int) -> None:
-    """Build the corpus index in (up to) ``n_workers`` worker processes up
-    front, so the first big fetch round doesn't serialize behind per-worker
-    cold starts (worker spawn + index build measured at several seconds for
-    a 32-way round)."""
+    """Spawn (up to) ``n_workers`` worker processes and map the shared
+    corpus + index into each, so the first big fetch round doesn't
+    serialize behind process spawn. (The index itself needs no build — it
+    is deserialized zero-copy from plasma.)"""
 
     @ray.remote
-    def _warm(_i: int) -> int:
-        _ensure_index(table_ref)
+    def _warm(i: int) -> int:
+        idx = _ensure_index(table_ref)
+        if i == 0:
+            # fault the shared html pages into memory ONCE (they are plasma
+            # shm pages — the first toucher pays for everyone); otherwise
+            # the first big fetch round pays ~1-2 s/GB of page faults
+            for chunk in idx._html.chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        np.frombuffer(buf, dtype=np.uint8)[:: 4096].sum()
         return 0
 
     ray.get([_warm.remote(i) for i in range(n_workers)])
@@ -149,8 +219,12 @@ def fetch_partitioned(frontier: Dataset, corpus_path: str) -> Dataset:
 
 def fetch_join(frontier: Dataset, corpus_path: str, num_partitions: int) -> Dataset:
     """Hash-join fetch for corpora too big to broadcast."""
+    from spider_ray.blockutil import drop_empty_blocks
+
     pages = ray.data.read_parquet(corpus_path, columns=["url", "html"])
-    joined = frontier.select_columns(["url", "depth", "rank"]).join(
+    # the frontier side can carry empty blocks (politeness filters) — every
+    # join input must be empty-block-free, see blockutil.drop_empty_blocks
+    joined = drop_empty_blocks(frontier.select_columns(["url", "depth", "rank"])).join(
         pages,
         join_type="inner",
         num_partitions=num_partitions,
@@ -179,15 +253,80 @@ def load_corpus_ref(corpus_path: str):
         if os.path.isdir(root)
         else [root]
     )
-    key = (root, tuple(paths), max((os.path.getmtime(p) for p in paths), default=0))
+    src_mtime = max((os.path.getmtime(p) for p in paths), default=0)
+    key = (root, tuple(paths), src_mtime)
     if key in _REF_CACHE:
         return _REF_CACHE[key]
     _REF_CACHE.clear()  # one corpus per session is the common case — don't
     # pin superseded broadcast tables in the object store
+
+    # On-disk prepared cache: the combined table as UNCOMPRESSED Arrow IPC
+    # (zero-copy mmap on reload) + the hash index as npz. A fresh process
+    # (each scaling-protocol subprocess) then skips read+combine+hash
+    # (~2 min at 8 GB on this host) and pays only the ray.put.
+    prep = os.path.join(root, "_prepared.arrow")
+    idxf = os.path.join(root, "_prepared_idx.npz")
+    if (
+        os.path.isdir(root)
+        and os.path.exists(prep)
+        and os.path.exists(idxf)
+        and os.path.getmtime(prep) >= src_mtime
+        and os.path.getmtime(idxf) >= src_mtime
+    ):
+        import pyarrow.ipc as ipc
+
+        tbl = ipc.open_file(pa.memory_map(prep)).read_all()
+        d = np.load(idxf)
+        ref = ray.put((tbl, d["h"], d["o"]))
+        _REF_CACHE[key] = ref
+        return ref
+
     big = pa.schema([("url", pa.string()), ("html", pa.large_binary())])
+
+    def _read(p):
+        return pq.read_table(p, columns=["url", "html"]).cast(big)
+
+    # parquet decode releases the GIL — a thread pool reads the shards in
+    # parallel (a serial driver read of a multi-GB corpus took minutes)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        tbls = list(ex.map(_read, paths))
+    # Re-chunk to a handful of ~512 MB chunks, combining GROUPS serially:
+    # ray.put of a many-hundred-chunk table is pathologically slow
+    # (measured 223 s at 615 chunks vs ~10 s at 1), a SINGLE 8 GB
+    # combine_chunks is super-linear (110-200 s vs ~0.5 s per 500 MB
+    # group), and workers must never combine (a full copy per worker).
+    # _CorpusIndex._take handles the remaining few chunks without copies.
+    group, size, groups = [], 0, []
+    for t in tbls:
+        group.append(t)
+        size += t.nbytes
+        if size >= 512 * 1024 * 1024:
+            groups.append(group)
+            group, size = [], 0
+    if group:
+        groups.append(group)
     tbl = pa.concat_tables(
-        pq.read_table(p, columns=["url", "html"]).cast(big) for p in paths
+        pa.concat_tables(g).combine_chunks() for g in groups
     )
-    ref = ray.put(tbl.combine_chunks())
+    del tbls
+    urls = tbl.column("url").to_pylist()
+    hashes = np.fromiter((_url_hash64(u) for u in urls), np.uint64, len(urls))
+    order = np.argsort(hashes, kind="stable").astype(np.int64)
+    h_sorted = hashes[order]
+    if os.path.isdir(root):
+        try:  # persist the prepared form for the next process (best effort)
+            import pyarrow.ipc as ipc
+
+            tmp = prep + ".tmp"
+            with pa.OSFile(tmp, "wb") as f, ipc.new_file(f, tbl.schema) as w:
+                w.write_table(tbl)
+            os.replace(tmp, prep)
+            np.savez(idxf + ".tmp.npz", h=h_sorted, o=order)
+            os.replace(idxf + ".tmp.npz", idxf)
+        except OSError:
+            pass
+    ref = ray.put((tbl, h_sorted, order))
     _REF_CACHE[key] = ref
     return ref

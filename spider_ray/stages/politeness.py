@@ -102,7 +102,8 @@ def politeness_split(
 
         flagged = pending.map_batches(flag, batch_format="pandas")
     else:
-        joined = pending.join(
+        joined = drop_empty_blocks(pending).join(  # every join input must
+            # be empty-block-free — see blockutil.drop_empty_blocks
             thresholds,
             join_type="left_outer",
             num_partitions=max(8, n_hosts // 500_000),
