@@ -74,17 +74,28 @@ def shingle_set(text: str, n: int = 3) -> set[str]:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
+# odd 64-bit mixing multiplier (golden-ratio constant) for the polynomial
+# shingle hash — distinct word-hash n-tuples collide w.p. ~2⁻⁶⁴ per pair,
+# the same risk class as any 64-bit shingle hash
+_SH_A = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Sorted unique 64-bit shingle hashes — the doc's dedup sketch."""
-    h = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-            for s in shingle_set(text, n)
-        ),
-        dtype=np.uint64,
-    )
-    h.sort()
-    return h
+    """Sorted unique 64-bit shingle hashes — the doc's dedup sketch.
+
+    Vectorized: one cached md5-low-64 per WORD, then a degree-n polynomial
+    over consecutive word hashes in numpy (the previous per-shingle blake2b
+    loop cost ~1 ms/doc and serialized the whole sketch pass)."""
+    words = text.lower().split()
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    w = np.fromiter((_word_hash(x) for x in words), np.uint64, len(words))
+    m = len(words) - n + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            h = h * _SH_A + w[j : j + m]
+    return np.unique(h)
 
 
 def minhash_from_hashes(h: np.ndarray) -> np.ndarray:
@@ -146,7 +157,7 @@ def sketch_documents(docs: Dataset, n: int = 3) -> Dataset:
 def minhash_lsh_pairs(
     docs: Dataset | str,
     jaccard_threshold: float = 0.8,
-    num_partitions: int = 8,
+    num_partitions: int = 4,
 ) -> Dataset:
     """MinHash+LSH near-dup candidate generation + exact-Jaccard verify.
 
@@ -157,7 +168,9 @@ def minhash_lsh_pairs(
     band keys and id pairs; text moves once (into the sketch pass)."""
     pct = int(round(jaccard_threshold * 100))
     if isinstance(docs, str):
-        docs = _docs(docs, ["doc_id", "text"])
+        # re-split: a single parquet file arrives as one block and the
+        # shingle-hash pass is CPU-heavy — one task would serialize it
+        docs = _docs(docs, ["doc_id", "text"]).repartition(32)
     # materialized so banding + the two verify joins reuse one sketch pass
     # instead of re-reading text per consumption; sketches spill fine.
     # (_drop_empty_blocks on every join input — see blockutil docstring.)
