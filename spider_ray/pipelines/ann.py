@@ -249,6 +249,102 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (signs << np.arange(planes.shape[0])).sum(axis=1).astype(np.int64)
 
 
+def embedding_near_dup_lsh(
+    sf_dir: str,
+    threshold_pct: int = 40,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    num_partitions: int = 4,
+) -> Dataset:
+    """Scale path for embedding-cosine near-dup: signed-random-projection
+    LSH with ``n_tables`` independent plane sets. Every vector lands in ONE
+    bucket per table; candidate pairs come from a bucket self-JOIN (the
+    corpus is never broadcast and no all-pairs product exists anywhere);
+    every candidate is verified exactly (float64 cosine vs the integer
+    percent threshold), so precision is exact and recall ≈
+    1-(1-p^planes)^tables (recall-tested against the brute-force pairs in
+    tests/test_dedup.py). Embeddings travel through the join as raw float64
+    bytes (list columns are not joinable payloads)."""
+    import pyarrow.compute as pc
+
+    from spider_ray.blockutil import drop_empty_blocks
+
+    rng = np.random.RandomState(_PLANES_SEED + 1)
+    dim = len(query_vector(sf_dir, 0))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    ds = _emb(sf_dir)
+
+    def to_buckets(batch: pd.DataFrame) -> pa.Table:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        pl = get_broadcast(planes_ref)
+        m = _to_matrix(batch)
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        out_t, out_b, out_id, out_v = [], [], [], []
+        for t in range(pl.shape[0]):
+            b = _bucket_of(norm, pl[t])
+            out_t.append(np.full(len(ids), t, dtype=np.int32))
+            out_b.append(b)
+            out_id.append(ids)
+            out_v.extend(norm[i].tobytes() for i in range(len(ids)))
+        return pa.table(
+            {
+                "table_id": pa.array(np.concatenate(out_t)),
+                "bucket": pa.array(np.concatenate(out_b)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "v": pa.array(out_v, pa.large_binary()),
+            }
+        )
+
+    buckets = drop_empty_blocks(
+        ds.map_batches(to_buckets, batch_format="pandas", batch_size=4096)
+    )
+    right = buckets.rename_columns(
+        {"vec_id": "vec_b", "v": "v_b"}
+    )
+    joined = buckets.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("table_id", "bucket"),
+    )
+
+    thr = threshold_pct
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch.column("vec_id"), batch.column("vec_b")))
+        a_ids = t.column("vec_id").to_numpy()
+        b_ids = t.column("vec_b").to_numpy()
+        keep_a, keep_b = [], []
+        va, vb = t.column("v"), t.column("v_b")
+        for i in range(t.num_rows):
+            x = np.frombuffer(va[i].as_py(), dtype=np.float64)
+            y = np.frombuffer(vb[i].as_py(), dtype=np.float64)
+            if float(x @ y) * 100 >= thr:
+                keep_a.append(int(a_ids[i]))
+                keep_b.append(int(b_ids[i]))
+        return pa.table(
+            {
+                "vec_a": pa.array(keep_a, pa.int64()),
+                "vec_b": pa.array(keep_b, pa.int64()),
+            }
+        )
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow")
+    # a pair can collide in several tables — dedupe with an aggregate
+    from ray.data.aggregate import Count
+
+    out = (
+        pairs.groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="_nt"))
+        .drop_columns(["_nt"])
+    )
+    return out
+
+
 def lsh_topk(sf_dir: str, k: int = 10, query_id: int = 0, probe_hamming: int = 1) -> pd.DataFrame:
     """Approximate top-k: scan only embeddings whose LSH bucket is within
     ``probe_hamming`` bit flips of the query's bucket."""

@@ -87,6 +87,9 @@ QUERIES = {
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     "simhash_table": dedup.simhash_table,
     "embedding_near_dup": dedup.embedding_near_dup_pairs,
+    # scale path: LSH-bucketed candidate pairs + exact verify — approximate
+    # (recall-gated in pytest), so rows-only for the driver
+    "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
     "embedding_topk": ann.brute_topk,
     # exact mode (nprobe == n_clusters probes every cluster) → the IVF
     # machinery runs end-to-end AND the result is oracle-comparable to the

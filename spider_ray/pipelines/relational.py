@@ -31,6 +31,17 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _read(sf_dir: str, name: str, columns: list[str]) -> Dataset:
+    """read_parquet with the pandas schema-metadata blob stripped — it
+    makes hash(Schema) raise in every downstream coalescing step (see
+    blockutil.strip_schema_metadata)."""
+    from spider_ray.blockutil import strip_schema_metadata
+
+    return strip_schema_metadata(
+        ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+    )
+
+
 def count_documents(sf_dir: str) -> pa.Table:
     """A1 count_all (reference postgres_database.py:184-200 → ds.count())."""
     n = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]).count()
@@ -41,15 +52,13 @@ def catch_by_source(sf_dir: str, source: str = "src7", limit: int = 10) -> Datas
     """S6 'catch': select-by-parent + limit (postgres_database.py:144-160),
     keyed on ``source`` with a deterministic ORDER BY (the reference's
     unordered LIMIT is nondeterministic; both sides order by doc_id)."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
-    )
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     return ds.filter(expr=f"source == '{source}'").sort("doc_id").limit(limit)
 
 
 def source_counts(sf_dir: str) -> Dataset:
     """A4 grouped counts (per-'host' skew stats analog)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
     return ds.groupby("source").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
     )
@@ -57,7 +66,7 @@ def source_counts(sf_dir: str) -> Dataset:
 
 def topk_longest_docs(sf_dir: str, k: int = 20) -> Dataset:
     """A5 top-k with deterministic tie-break."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
 
 
@@ -70,9 +79,10 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
     each batch emits one partial row per (returnflag, linestatus), then a
     small groupby sums partials — rows shuffled = O(groups × blocks), not
     O(rows) (the pre-aggregate pattern for wide groupbys at scale)."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "lineitem"),
-        columns=[
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
             "l_returnflag",
             "l_linestatus",
             "l_quantity",
@@ -81,23 +91,41 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
         ],
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            qty_c=_cents(batch["l_quantity"].to_numpy()),
-            base_c=_cents(batch["l_extendedprice"].to_numpy()),
+    def partial(batch: pa.Table) -> pa.Table:
+        # pure numpy/arrow — no pandas conversion on the hot path
+        qty_c = _cents(batch.column("l_quantity").to_numpy())
+        base_c = _cents(batch.column("l_extendedprice").to_numpy())
+        disc_c4 = base_c * (100 - _cents(batch.column("l_discount").to_numpy()))
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty_c": pa.array(qty_c),
+                "sum_base_c": pa.array(base_c),
+                "sum_disc_c4": pa.array(disc_c4),
+                "count_order": pa.array(np.ones(len(qty_c), dtype=np.int64)),
+            }
         )
-        batch["disc_c4"] = batch["base_c"] * (
-            100 - _cents(batch["l_discount"].to_numpy())
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty_c", "sum"),
+                ("sum_base_c", "sum"),
+                ("sum_disc_c4", "sum"),
+                ("count_order", "sum"),
+            ]
         )
-        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty_c=("qty_c", "sum"),
-            sum_base_c=("base_c", "sum"),
-            sum_disc_c4=("disc_c4", "sum"),
-            count_order=("qty_c", "size"),
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty_c",
+                "sum_base_c",
+                "sum_disc_c4",
+                "count_order",
+            ]
         )
-        return g
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty_c", alias_name="sum_qty_c"),
         Sum("sum_base_c", alias_name="sum_base_c"),
@@ -117,23 +145,27 @@ def orders_by_segment(sf_dir: str) -> Dataset:
         dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
     )
 
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
-    )
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def join_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def join_partial(batch: pa.Table) -> pa.Table:
         from spider_ray.stages.broadcast import get_broadcast
 
         lookup = get_broadcast(lookup_ref)  # deserialized once per worker
-        batch = batch.assign(
-            mktsegment=batch["o_custkey"].map(lookup),
-            total_c=_cents(batch["o_totalprice"].to_numpy()),
+        seg = [lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
+        total_c = _cents(batch.column("o_totalprice").to_numpy())
+        t = pa.table(
+            {
+                "mktsegment": pa.array(seg, pa.string()),
+                "n_orders": pa.array(np.ones(len(seg), dtype=np.int64)),
+                "total_c": pa.array(total_c),
+            }
         )
-        return batch.groupby("mktsegment", as_index=False).agg(
-            n_orders=("total_c", "size"), total_c=("total_c", "sum")
+        g = t.group_by("mktsegment").aggregate(
+            [("n_orders", "sum"), ("total_c", "sum")]
         )
+        return g.rename_columns(["mktsegment", "n_orders", "total_c"])
 
-    partials = ds.map_batches(join_partial, batch_format="pandas", batch_size=16384)
+    partials = ds.map_batches(join_partial, batch_format="pyarrow", batch_size=16384)
     return partials.groupby("mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"), Sum("total_c", alias_name="total_c")
     )
@@ -141,7 +173,7 @@ def orders_by_segment(sf_dir: str) -> Dataset:
 
 def events_hourly(sf_dir: str) -> Dataset:
     """Event-time tumbling window (1h) as a vectorized truncate + groupby."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
 
     def trunc(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
@@ -159,7 +191,7 @@ def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Data
     ``size/slide`` shifted tumbling windows — each event lands in exactly
     size/slide windows, all computed in one vectorized pass + one groupby
     (the standard way to express sliding windows on a batch engine)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
     n_shifts = size_min // slide_min
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -192,9 +224,7 @@ def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Data
 def top_events_per_type(sf_dir: str, k: int = 3) -> Dataset:
     """Top-k-per-group: the k highest-value events of each type
     (deterministic tie-break by event_id) — groupby + per-group head."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "events"), columns=["event_type", "event_id", "value"]
-    )
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(value_c=_cents(g["value"].to_numpy()))
@@ -205,7 +235,7 @@ def top_events_per_type(sf_dir: str, k: int = 3) -> Dataset:
 
 
 def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ds = _read(sf_dir, "events", ["user_id"])
     agg = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
 
@@ -214,7 +244,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
     """Session counts per user (streaming-shaped op per SURVEY.md §2.6 RD
     mapping): partition by user, order by ts within group, count gap-starts.
     A new session begins when ts − prev_ts > gap."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def count_sessions(g: pd.DataFrame) -> pd.DataFrame:

@@ -66,3 +66,24 @@ class JsonSink:
 
     def read(self, path: str) -> Dataset:
         return ray.data.read_json(path)
+
+
+@register_sink("mongo")
+class MongoSink:
+    """Parity stub for the reference's FOURTH DAO: its Mongo backend is
+    itself unimplemented (mongodb_database.py:56-113 — every operation
+    body is a bare ``pass``/``return None``), so the faithful analog is a
+    registered-but-stubbed sink that raises where the reference silently
+    no-ops (raising is the safer rendition of the same contract: the
+    backend is selectable but not usable)."""
+
+    def write(self, ds: Dataset, path: str) -> None:
+        raise NotImplementedError(
+            "the reference's Mongo DAO is a stub (mongodb_database.py:56-113); "
+            "this sink mirrors that — select parquet/csv/json for real output"
+        )
+
+    def read(self, path: str) -> Dataset:
+        raise NotImplementedError(
+            "the reference's Mongo DAO is a stub (mongodb_database.py:56-113)"
+        )

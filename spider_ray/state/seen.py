@@ -24,6 +24,10 @@ Two seen-set implementations behind one interface:
   (~p probability, sized by ``bloom_bits``/``n_hashes``) — the standard
   crawl-frontier trade (PAPERS.md bloom/cuckoo entries); not used where
   oracle-exact output is asserted.
+- ``CuckooSeen`` — a cuckoo filter (16-bit fingerprints, 4-slot buckets,
+  partial-key cuckoo hashing): same one-sided error as bloom but with true
+  DELETION support and exactly two bucket probes per lookup; kicked-out
+  inserts overflow into an exact set so false negatives never occur.
 
 Checkpointing: ``dump()``/``restore()`` round-trip the full shard state
 (including the per-round claim set) so a killed run resumes with the exact
@@ -114,13 +118,138 @@ class BloomSeen:
         self._arr = np.frombuffer(raw, dtype=np.uint64).copy()
 
 
+class CuckooSeen:
+    """Cuckoo filter (Fan et al. 2014): partial-key cuckoo hashing of
+    16-bit fingerprints into 4-slot buckets, two candidate buckets per key
+    (``alt = h ^ (mix(fp) & mask)`` — involutive, so either bucket derives
+    the other). vs Bloom: supports DELETION and keeps lookups at exactly
+    two bucket probes; same one-sided error (a false positive drops a
+    never-seen URL, p ≈ 2·slots/2¹⁶ per probe at high load — bounded and
+    documented, the standard crawl-frontier trade). Inserts that exhaust
+    ``max_kicks`` evictions land in a small exact overflow set, so there
+    are NO false negatives ever."""
+
+    mode = "cuckoo"
+    _SLOTS = 4
+
+    def __init__(self, n_buckets: int = 1 << 16, max_kicks: int = 500) -> None:
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+        self.n_buckets = n_buckets
+        self.max_kicks = max_kicks
+        self._t = np.zeros((n_buckets, self._SLOTS), dtype=np.uint16)
+        self._n = 0
+        self._overflow: set[str] = set()
+        self._rng = np.random.RandomState(1234)  # eviction slot choice —
+        # seeded so dump/restore + replay stays deterministic
+
+    def _fp_h(self, url: str) -> tuple[int, int]:
+        import hashlib
+
+        d = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
+        fp = (int.from_bytes(d[:2], "little") % 65535) + 1  # never 0 (empty)
+        h1 = int.from_bytes(d[2:6], "little") & (self.n_buckets - 1)
+        return fp, h1
+
+    def _alt(self, h: int, fp: int) -> int:
+        return (h ^ (fp * 0x5BD1E995)) & (self.n_buckets - 1)
+
+    def __contains__(self, url: str) -> bool:
+        fp, h1 = self._fp_h(url)
+        if fp in self._t[h1] or fp in self._t[self._alt(h1, fp)]:
+            return True
+        return url in self._overflow
+
+    def add(self, url: str) -> None:
+        fp, h1 = self._fp_h(url)
+        h2 = self._alt(h1, fp)
+        if fp in self._t[h1] or fp in self._t[h2]:
+            self._n += 1
+            return
+        for h in (h1, h2):
+            empty = np.flatnonzero(self._t[h] == 0)
+            if empty.size:
+                self._t[h][empty[0]] = fp
+                self._n += 1
+                return
+        # both buckets full: evict (kick) until a slot frees up. Snapshot
+        # first — a failed kick chain leaves a DISPLACED fingerprint in
+        # hand that belongs to some other key; rolling back is what keeps
+        # the no-false-negatives guarantee.
+        backup = self._t.copy()
+        h, cur = h1, fp
+        for _ in range(self.max_kicks):
+            s = int(self._rng.randint(self._SLOTS))
+            cur, self._t[h][s] = int(self._t[h][s]), cur
+            h = self._alt(h, cur)
+            empty = np.flatnonzero(self._t[h] == 0)
+            if empty.size:
+                self._t[h][empty[0]] = cur
+                self._n += 1
+                return
+        # table effectively full — roll back and keep the url exactly
+        self._t = backup
+        self._overflow.add(url)
+        self._n += 1
+
+    def discard(self, url: str) -> bool:
+        """Cuckoo's distinguishing op vs Bloom: true deletion."""
+        if url in self._overflow:
+            self._overflow.discard(url)
+            self._n -= 1
+            return True
+        fp, h1 = self._fp_h(url)
+        for h in (h1, self._alt(h1, fp)):
+            idx = np.flatnonzero(self._t[h] == fp)
+            if idx.size:
+                self._t[h][idx[0]] = 0
+                self._n -= 1
+                return True
+        return False
+
+    def __len__(self) -> int:
+        return self._n
+
+    def dump_payload(self) -> bytes:
+        return pickle.dumps(
+            (
+                self.n_buckets,
+                self.max_kicks,
+                self._n,
+                self._t.tobytes(),
+                sorted(self._overflow),
+                self._rng.get_state(),
+            ),
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def restore_payload(self, payload: bytes) -> None:
+        self.n_buckets, self.max_kicks, self._n, raw, ovf, rng_state = pickle.loads(
+            payload
+        )
+        self._t = (
+            np.frombuffer(raw, dtype=np.uint16)
+            .reshape(self.n_buckets, self._SLOTS)
+            .copy()
+        )
+        self._overflow = set(ovf)
+        self._rng = np.random.RandomState()
+        self._rng.set_state(rng_state)
+
+
 class UrlSeenShard:
     """One hash-range shard of the URL-seen state. Run as a Ray actor
     (``ray.remote(UrlSeenShard)``); all methods are called via actor handles
     from inside ``map_batches`` tasks, which serializes access per shard."""
 
     def __init__(self, mode: str = "exact", bloom_bits: int = 1 << 24, n_hashes: int = 7):
-        self._seen = ExactSeen() if mode == "exact" else BloomSeen(bloom_bits, n_hashes)
+        if mode == "exact":
+            self._seen = ExactSeen()
+        elif mode == "cuckoo":
+            # bloom_bits doubles as the sizing knob: bits/64 → buckets
+            # (≈ bits/16 fingerprint slots)
+            self._seen = CuckooSeen(n_buckets=max(1 << 10, bloom_bits >> 6))
+        else:
+            self._seen = BloomSeen(bloom_bits, n_hashes)
         self._round = -1
         self._claimed_this_round: set[str] = set()
         # offer/harvest state (dedup+claim fused on the shard)
@@ -218,6 +347,8 @@ class UrlSeenShard:
     def restore(self, d: dict) -> None:
         if d["mode"] == "exact":
             self._seen = ExactSeen()
+        elif d["mode"] == "cuckoo":
+            self._seen = CuckooSeen()
         else:
             self._seen = BloomSeen()
         self._seen.restore_payload(d["payload"])

@@ -84,3 +84,18 @@ def test_no_cache_mode_matches_oracle(tmp_path):
     assert res.total_calls == oracle.total_calls
     # duplicates really happen without the cache
     assert store["url"].duplicated().any()
+
+
+def test_mongo_sink_is_registered_stub():
+    """4th DAO parity: the reference's Mongo backend is itself a stub
+    (mongodb_database.py:56-113) — selectable, not usable."""
+    import pytest as _pytest
+
+    from spider_ray.sinks import get_sink, sink_choices
+
+    assert "mongo" in sink_choices()
+    s = get_sink("mongo")
+    with _pytest.raises(NotImplementedError):
+        s.write(None, "/tmp/nope")
+    with _pytest.raises(NotImplementedError):
+        s.read("/tmp/nope")

@@ -222,3 +222,14 @@ def test_bloom_mode_no_false_negatives(corpus_dir, corpus_dict, tmp_path):
     )
     oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
     _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cuckoo_mode_matches_oracle(corpus_dir, corpus_dict, tmp_path):
+    # cuckoo filter sized generously (2^20 bits → 2^14 buckets ≈ 65k slots
+    # for ~150 urls) → FP probability ~1e-4/url → identical to exact here
+    res, store = _run_engine(
+        corpus_dir, tmp_path, max_depth=2, seen_mode="cuckoo", bloom_bits=1 << 20
+    )
+    oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
+    _assert_matches_oracle(res, store, oracle)

@@ -108,3 +108,44 @@ def test_fake_decoder_smoke():
     assert out.column("width").to_pylist()[0] >= 1
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_lsh_recall_and_precision():
+    import duckdb
+
+    from spider_ray.pipelines.ann import embedding_near_dup_lsh
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_near_dup_lsh(sf, threshold_pct=40).to_pandas()
+    got_pairs = {(a, b) for a, b in zip(got["vec_a"], got["vec_b"])}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    exact = con.execute(
+        "SELECT a.vec_id, b.vec_id FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding)*100 >= 40"
+    ).fetchall()
+    exact_pairs = set(map(tuple, exact))
+
+    # precision is EXACT by construction (every candidate re-verified)
+    assert got_pairs <= exact_pairs or all(
+        # float64-vs-duckdb boundary pairs are the only tolerated deltas
+        abs(
+            con.execute(
+                "SELECT list_cosine_similarity(a.embedding, b.embedding)*100 "
+                "FROM embeddings a, embeddings b WHERE a.vec_id=? AND b.vec_id=?",
+                [pa, pb],
+            ).fetchone()[0]
+            - 40
+        )
+        < 1e-6
+        for (pa, pb) in got_pairs - exact_pairs
+    )
+    # recall: 4-plane × 8-table signed-random-projection at cos≥0.4
+    if exact_pairs:
+        recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.5, recall

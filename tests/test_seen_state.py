@@ -64,3 +64,56 @@ def test_shard_bulk_add():
     sh = UrlSeenShard(mode="exact")
     sh.bulk_add(["a", "b"])
     assert sh.check_and_add(5, ["a", "c"]) == [False, True]
+
+
+def test_cuckoo_no_false_negatives_membership_and_deletion():
+    from spider_ray.state.seen import CuckooSeen
+
+    c = CuckooSeen(n_buckets=1 << 12)
+    urls = [f"https://h{i}.example/p{i}" for i in range(2000)]
+    for u in urls:
+        c.add(u)
+    assert all(u in c for u in urls)  # no false negatives, ever
+    probes = [f"https://x{i}.example/q{i}" for i in range(2000)]
+    fp = sum(1 for p in probes if p in c)
+    # 16-bit fingerprints, 2 buckets × 4 slots probed → fp ≈ 8/65535 ≈ 1e-4
+    assert fp / len(probes) < 0.01
+    # deletion — the op Bloom cannot do
+    victim = urls[37]
+    assert c.discard(victim) is True
+    assert c.discard("https://never.example/x") is False
+    assert all(u in c for u in urls if u != victim)
+
+
+def test_cuckoo_overflow_keeps_exactness():
+    from spider_ray.state.seen import CuckooSeen
+
+    # tiny table forced into eviction-overflow territory
+    c = CuckooSeen(n_buckets=1 << 4, max_kicks=8)
+    urls = [f"https://h{i}.example/p{i}" for i in range(500)]
+    for u in urls:
+        c.add(u)
+    assert all(u in c for u in urls)  # overflow set catches kicked inserts
+
+
+def test_cuckoo_roundtrip():
+    from spider_ray.state.seen import CuckooSeen
+
+    c = CuckooSeen(n_buckets=1 << 10)
+    for i in range(50):
+        c.add(f"u{i}")
+    d = c.dump_payload()
+    c2 = CuckooSeen()
+    c2.restore_payload(d)
+    assert all(f"u{i}" in c2 for i in range(50))
+    assert "u999" not in c2
+
+
+def test_shard_cuckoo_mode():
+    sh = UrlSeenShard(mode="cuckoo", bloom_bits=1 << 22)
+    assert sh.check_and_add(1, ["a", "b"]) == [True, True]
+    assert sh.check_and_add(2, ["a", "c"]) == [False, True]
+    d = sh.dump()
+    sh2 = UrlSeenShard(mode="cuckoo")
+    sh2.restore(d)
+    assert sh2.check_and_add(3, ["a", "d"]) == [False, True]
