@@ -770,6 +770,11 @@ def crawl(
             seed_tbl = None
             round_idx += 1
             rounds_run += 1
+            # a Ctrl-C captured mid-round surfaces HERE, at the round
+            # boundary (round r's checkpoint is already submitted, so resume
+            # is exact) — without this, an interrupt during an unbounded
+            # crawl would be swallowed until every round completed
+            intr.check()
 
         if ckpt_thread is not None:
             ckpt_thread.join_and_raise()

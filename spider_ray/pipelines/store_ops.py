@@ -254,8 +254,18 @@ def reconcile_stores(old_dir: str, new_dir: str, out_path: str, overwrite: bool 
     winners = drop_empty_blocks(
         winners, pa.schema([("url", pa.string()), ("_k", pa.int64())])
     )
-    merged = rows.join(
-        winners, join_type="inner", num_partitions=8, on=("url", "_k")
+    merged = rows.join(winners, join_type="inner", num_partitions=8, on=("url", "_k"))
+
+    # a store holding byte-identical duplicate rows (same url AND rank —
+    # e.g. a duplicated part file) matches the winning _k once per copy and
+    # the join keeps every copy; the join output is hash-partitioned on
+    # (url, _k), so all copies of a key share one block and a per-block
+    # dedup is exact (batch_size=None → whole block per batch)
+    def drop_dup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(subset=["url", "_k"])
+
+    merged = merged.map_batches(
+        drop_dup, batch_format="pandas", batch_size=None
     ).drop_columns(["_gen", "_k"])
     merged.write_parquet(out_path)
     return ray.data.read_parquet(out_path)

@@ -65,6 +65,10 @@ class _CorpusIndex:
         internally — a multi-GB copy per call on the broadcast corpus):
         group the row ids per chunk, take within each chunk, restore the
         caller's order."""
+        if rows.size == 0:
+            # all-miss batch (expected near the crawl edge: every frontier
+            # url out of corpus) — concat_arrays([]) would raise
+            return pa.array([], type=col.type)
         order = np.argsort(rows, kind="stable")
         srows = rows[order]
         cid = np.searchsorted(self._chunk_offsets, srows, side="right") - 1

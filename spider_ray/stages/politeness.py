@@ -63,15 +63,23 @@ def politeness_split(
             return pd.DataFrame({"host": pd.Series([], dtype=object), "rank": pd.Series([], dtype=np.int64)})
         d = d.sort_values(["host", "rank"])
         idx = d.groupby("host", sort=False).cumcount()
-        return d[idx < max_budget]
+        # keep ≥1 row per throttled host even when every budget is 0, so the
+        # host still reaches host_threshold (which then defers it entirely)
+        return d[idx < max(max_budget, 1)]
 
     cand = pending.map_batches(partial_topb, batch_format="pandas")
 
     def host_threshold(g: pd.DataFrame) -> pd.DataFrame:
         h = g["host"].iloc[0]
         b = overrides.get(h, budget)
-        ranks = np.sort(g["rank"].to_numpy())
-        t = int(ranks[min(b, len(ranks)) - 1])
+        if b is None or b <= 0:
+            # budget 0 = "skip this host this round": ranks are non-negative,
+            # so a -1 threshold defers every row (min(b,len)-1 would index
+            # ranks[-1] — the LARGEST rank — and silently fetch everything)
+            t = -1
+        else:
+            ranks = np.sort(g["rank"].to_numpy())
+            t = int(ranks[min(b, len(ranks)) - 1])
         return pd.DataFrame({"host": [h], "_thr": [t]})
 
     # per-host groups here hold ≤ max_budget × n_blocks rows — bounded even

@@ -160,11 +160,13 @@ class CuckooSeen:
         return url in self._overflow
 
     def add(self, url: str) -> None:
+        # NO presence check before insert: duplicate fingerprints are stored
+        # up to bucket capacity — the standard cuckoo-filter deletion rule.
+        # Dedup-on-insert would back two distinct urls sharing (fp, bucket)
+        # with ONE table entry, so discard() of one would turn the other
+        # into a false negative, breaking the documented guarantee.
         fp, h1 = self._fp_h(url)
         h2 = self._alt(h1, fp)
-        if fp in self._t[h1] or fp in self._t[h2]:
-            self._n += 1
-            return
         for h in (h1, h2):
             empty = np.flatnonzero(self._t[h] == 0)
             if empty.size:

@@ -233,3 +233,44 @@ def test_cuckoo_mode_matches_oracle(corpus_dir, corpus_dict, tmp_path):
     )
     oracle = crawl_oracle(corpus_dict, SEEDS, max_depth=2)
     _assert_matches_oracle(res, store, oracle)
+
+
+def test_corpus_index_all_miss_batch():
+    # a batch whose urls ALL miss the corpus (expected near the crawl edge)
+    # must come back empty, not crash in pa.concat_arrays([])
+    import numpy as np
+    import pyarrow as pa
+
+    from spider_ray.stages.fetch import _CorpusIndex, _url_hash64
+
+    tbl = pa.table(
+        {
+            "url": pa.array(["https://a/x", "https://a/y"], pa.string()),
+            "html": pa.array([b"<p>x</p>", b"<p>y</p>"], pa.large_binary()),
+        }
+    )
+    hashes = np.array([_url_hash64(u) for u in tbl.column("url").to_pylist()], dtype=np.uint64)
+    order = np.argsort(hashes, kind="stable").astype(np.int64)
+    idx = _CorpusIndex((tbl, hashes[order], order))
+
+    batch = pa.table(
+        {
+            "url": pa.array(["https://nope/1", "https://nope/2"], pa.string()),
+            "depth": pa.array([1, 1], pa.int32()),
+            "rank": pa.array([5, 6], pa.int64()),
+        }
+    )
+    out = idx.lookup(batch)
+    assert out.num_rows == 0
+    assert out.schema.names == ["url", "depth", "rank", "html"]
+    # mixed batch still resolves the hit
+    mixed = pa.table(
+        {
+            "url": pa.array(["https://nope/1", "https://a/y"], pa.string()),
+            "depth": pa.array([1, 1], pa.int32()),
+            "rank": pa.array([5, 6], pa.int64()),
+        }
+    )
+    got = idx.lookup(mixed)
+    assert got.column("url").to_pylist() == ["https://a/y"]
+    assert got.column("html").to_pylist() == [b"<p>y</p>"]

@@ -72,3 +72,21 @@ def test_broadcast_and_join_paths_agree():
     assert set(bc_now.to_pandas()["url"]) == set(j_now.to_pandas()["url"])
     assert set(bc_def.to_pandas()["url"]) == set(j_def.to_pandas()["url"])
     assert set(bc_now.to_pandas()["url"]) == _expected(df, 12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zero_budget_defers_everything():
+    # b == 0 means "skip this host this round": every row defers (the old
+    # threshold math indexed ranks[-1] and silently FETCHED everything)
+    from spider_ray.stages.politeness import politeness_split
+
+    ds, df = _frontier(120, ["a", "b"], 4)
+    now, deferred = politeness_split(ds, None, host_budgets={"b": 0})
+    got = now.to_pandas()
+    assert set(got["host"]) == {"a"}
+    assert len(got) == 60
+    assert deferred.count() == 60
+    # global zero budget → the whole frontier defers
+    now2, def2 = politeness_split(ds, 0)
+    assert now2.count() == 0
+    assert def2.count() == 120

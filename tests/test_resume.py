@@ -68,3 +68,47 @@ def test_resume_with_politeness_matches_oracle(corpus_dir, tmp_path):
     df = _store_df(out)
     assert df["url"].tolist() == oracle.canonical_order()
     assert resumed.total_calls == oracle.total_calls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sigint_mid_crawl_stops_at_round_boundary_and_resumes(
+    corpus_dir, tmp_path, monkeypatch
+):
+    # a Ctrl-C arriving MID-round must surface at the next round boundary
+    # (not be swallowed until the whole crawl completes), leave a complete
+    # checkpoint behind, and resume to the byte-identical store
+    import os
+    import signal
+
+    from spider_ray.pipelines import crawl as crawl_mod
+    from spider_ray.pipelines.crawl import crawl
+
+    real_split = crawl_mod.politeness_split
+    fired = {"n": 0}
+
+    def interrupting_split(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            os.kill(os.getpid(), signal.SIGINT)  # lands in _DeferSigint
+        return real_split(*a, **kw)
+
+    monkeypatch.setattr(crawl_mod, "politeness_split", interrupting_split)
+    out = str(tmp_path / "intr")
+    with pytest.raises(KeyboardInterrupt):
+        crawl(corpus_dir, SEEDS, out, max_depth=2)
+    monkeypatch.setattr(crawl_mod, "politeness_split", real_split)
+
+    # exactly one round ran (the interrupt surfaced at its boundary) and its
+    # checkpoint promoted; the deferral handler is uninstalled again
+    h = signal.getsignal(signal.SIGINT)
+    assert getattr(h, "__qualname__", "") != "_DeferSigint._capture"
+    from spider_ray.pipelines.crawl import _find_last_complete_round
+
+    assert _find_last_complete_round(out) == 0
+
+    resumed = crawl(corpus_dir, SEEDS, out, max_depth=2, resume=True)
+    assert resumed.finished
+    full = crawl(corpus_dir, SEEDS, str(tmp_path / "intr_full"), max_depth=2)
+    pd.testing.assert_frame_equal(
+        _store_df(out), _store_df(str(tmp_path / "intr_full"))
+    )

@@ -117,3 +117,29 @@ def test_shard_cuckoo_mode():
     sh2 = UrlSeenShard(mode="cuckoo")
     sh2.restore(d)
     assert sh2.check_and_add(3, ["a", "d"]) == [False, True]
+
+
+def test_cuckoo_shared_fingerprint_discard_no_false_negative():
+    # two DISTINCT urls sharing (fp, bucket) must be backed by TWO table
+    # entries, so deleting one never turns the other into a false negative
+    from spider_ray.state.seen import CuckooSeen
+
+    c = CuckooSeen(n_buckets=1 << 6)  # small bucket space → collisions fast
+    first_by_key: dict = {}
+    pair = None
+    i = 0
+    while pair is None:
+        u = f"https://col{i}.example/x"
+        key = c._fp_h(u)
+        if key in first_by_key:
+            pair = (first_by_key[key], u)
+        else:
+            first_by_key[key] = u
+        i += 1
+    a, b = pair
+    c.add(a)
+    c.add(b)
+    assert len(c) == 2  # __len__ counts insertions (= items here)
+    assert c.discard(a) is True
+    assert b in c  # the twin survives — duplicate fingerprints are stored
+    assert len(c) == 1

@@ -104,3 +104,27 @@ def test_drop_store(tmp_path):
     drop_store(out)
     assert not os.path.exists(os.path.join(out, "store"))
     assert not os.path.exists(os.path.join(out, "rounds"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reconcile_survives_duplicated_part_file(crawled):
+    # a byte-identical duplicated part (same url AND discovery_rank, e.g. a
+    # retry-duplicated file) must yield exactly ONE merged row per url
+    import glob
+    import shutil
+
+    from spider_ray.pipelines.crawl import crawl, read_store
+    from spider_ray.pipelines.store_ops import reconcile_stores
+
+    corpus, out, root = crawled
+    out_dup = str(root / "out_dup")
+    crawl(corpus, ["https://h2.example/p0"], out_dup, max_depth=1)
+    part = glob.glob(f"{out_dup}/store/r0000/*.parquet")[0]
+    shutil.copy(part, part.replace(".parquet", "-retry-dup.parquet"))
+    n_urls_old = read_store(out).to_pandas()["url"].nunique()
+    n_urls_new = read_store(out_dup).to_pandas()["url"].nunique()
+
+    merged = reconcile_stores(out, out_dup, str(root / "m_dup"), overwrite=True).to_pandas()
+    assert merged["url"].is_unique
+    assert merged["discovery_rank"].is_unique
+    assert merged["url"].nunique() == len(set(read_store(out).to_pandas()["url"]) | set(read_store(out_dup).to_pandas()["url"]))
