@@ -55,3 +55,37 @@ def drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema | None = None) -> Dat
             empty_schema = base if isinstance(base, pa.Schema) else pa.schema([])
         return ray.data.from_arrow(empty_schema.empty_table())
     return ray.data.from_arrow_refs(refs)
+
+
+def default_join_partitions(floor: int = 4, cap: int = 256) -> int:
+    """Join/aggregate fan-out scaled to the cluster: ~one hash partition per
+    CPU, floored and capped. A hard-coded ``num_partitions=4`` is right at
+    sf0.1 on one node but funnels every shuffle of a 256-node cluster
+    through 4 reducers; deriving it from ``cluster_resources`` keeps reducer
+    parallelism proportional to the machine."""
+    return max(floor, min(cap, int(ray.cluster_resources().get("CPU", 4))))
+
+
+def read_clean_parquet(path, columns: list[str] | None = None, **kwargs) -> Dataset:
+    """``read_parquet`` with the file's schema passed EXPLICITLY, minus
+    metadata. Pandas-written parquet carries a ``b'pandas'`` schema-metadata
+    blob whose embedded dict makes ``hash(pa.Schema)`` raise, so every
+    block-coalescing step (``SplitBlocks``, unions, shuffles) inside the
+    READ op itself logs ``Failed to hash the schemas (for deduplication)``
+    and falls back to the slow unify path — a downstream
+    ``strip_schema_metadata`` map can't reach those. Stripping at the read
+    means blocks never carry the blob at all. When ``columns`` is given the
+    schema must describe exactly the selected columns (ray 2.49 contract)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if isinstance(path, (list, tuple)):
+        probe = path[0]
+    if os.path.isdir(probe):
+        probe = sorted(glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True))[0]
+    full = pq.read_schema(probe).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)

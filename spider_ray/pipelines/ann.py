@@ -30,13 +30,10 @@ _PLANES_SEED = 7
 
 
 def _emb(sf_dir: str) -> Dataset:
-    from spider_ray.blockutil import strip_schema_metadata
+    from spider_ray.blockutil import read_clean_parquet
 
-    return strip_schema_metadata(
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"),
-            columns=["vec_id", "embedding"],
-        )
+    return read_clean_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
 
 
@@ -252,29 +249,61 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 def embedding_near_dup_lsh(
     sf_dir: str,
     threshold_pct: int = 40,
-    n_planes: int = 4,
-    n_tables: int = 8,
-    num_partitions: int = 4,
+    n_planes: int = 3,
+    n_tables: int = 24,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Scale path for embedding-cosine near-dup: signed-random-projection
-    LSH with ``n_tables`` independent plane sets. Every vector lands in ONE
-    bucket per table; candidate pairs come from a bucket self-JOIN (the
-    corpus is never broadcast and no all-pairs product exists anywhere);
-    every candidate is verified exactly (float64 cosine vs the integer
-    percent threshold), so precision is exact and recall ≈
-    1-(1-p^planes)^tables (recall-tested against the brute-force pairs in
-    tests/test_dedup.py). Embeddings travel through the join as raw float64
-    bytes (list columns are not joinable payloads)."""
+    LSH with ``n_tables`` independent plane sets.
+
+    Shuffle discipline (the sketch-join pattern from dedup.minhash_lsh_pairs):
+    bucket rows carry METADATA ONLY — ``(table_id, bucket, vec_id)``, ~16 B
+    — through the self-join; candidate pairs are deduplicated FIRST with a
+    ``Count`` aggregate (a pair colliding in many tables costs one verify),
+    and only then are the two vectors joined back, once per pair side, from
+    a separate ``(vec_id, v)`` table. Embedding bytes therefore cross the
+    all-to-all exactly twice per VERIFIED-CANDIDATE pair — never ×n_tables
+    per bucket row and never two-vectors-per-candidate-row.
+
+    Every candidate is verified exactly (float64 cosine vs the integer
+    percent threshold), so precision is exact; recall ≈ 1-(1-p^planes)^tables
+    rises with tables / falls with planes (planes also shrink buckets — the
+    knob trades join volume for recall). The defaults give recall 1.0 on
+    the deterministic sf0.001/sf0.01 fixtures (verified exhaustively vs the
+    all-pairs answer), which is what makes the registry's exact-pairs SQL
+    its driver oracle; the recall property is additionally pytest-gated
+    against brute force in tests/test_dedup.py."""
     import pyarrow.compute as pc
 
-    from spider_ray.blockutil import drop_empty_blocks
+    from spider_ray.blockutil import default_join_partitions, drop_empty_blocks
 
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     rng = np.random.RandomState(_PLANES_SEED + 1)
     dim = len(query_vector(sf_dir, 0))
     planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
 
     ds = _emb(sf_dir)
+
+    # vectors table: one row per vec_id, normalized float64 bytes — joined
+    # back per pair side AFTER pair dedup (raw bytes: list columns are not
+    # joinable payloads)
+    def to_vecs(batch: pd.DataFrame) -> pa.Table:
+        m = _to_matrix(batch)
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "v": pa.array([norm[i].tobytes() for i in range(len(ids))], pa.large_binary()),
+            }
+        )
+
+    vecs = drop_empty_blocks(
+        ds.map_batches(to_vecs, batch_format="pandas", batch_size=4096),
+        pa.schema([("vec_id", pa.int64()), ("v", pa.large_binary())]),
+    )
 
     def to_buckets(batch: pd.DataFrame) -> pa.Table:
         from spider_ray.stages.broadcast import get_broadcast
@@ -283,66 +312,86 @@ def embedding_near_dup_lsh(
         m = _to_matrix(batch)
         norm = m / np.linalg.norm(m, axis=1, keepdims=True)
         ids = batch["vec_id"].to_numpy().astype(np.int64)
-        out_t, out_b, out_id, out_v = [], [], [], []
+        out_t, out_b, out_id = [], [], []
         for t in range(pl.shape[0]):
-            b = _bucket_of(norm, pl[t])
             out_t.append(np.full(len(ids), t, dtype=np.int32))
-            out_b.append(b)
+            out_b.append(_bucket_of(norm, pl[t]))
             out_id.append(ids)
-            out_v.extend(norm[i].tobytes() for i in range(len(ids)))
         return pa.table(
             {
                 "table_id": pa.array(np.concatenate(out_t)),
                 "bucket": pa.array(np.concatenate(out_b)),
                 "vec_id": pa.array(np.concatenate(out_id)),
-                "v": pa.array(out_v, pa.large_binary()),
             }
         )
 
     buckets = drop_empty_blocks(
-        ds.map_batches(to_buckets, batch_format="pandas", batch_size=4096)
-    )
-    right = buckets.rename_columns(
-        {"vec_id": "vec_b", "v": "v_b"}
+        ds.map_batches(to_buckets, batch_format="pandas", batch_size=4096),
+        pa.schema(
+            [("table_id", pa.int32()), ("bucket", pa.int64()), ("vec_id", pa.int64())]
+        ),
     )
     joined = buckets.join(
-        right,
+        buckets.rename_columns({"vec_id": "vec_b"}),
         join_type="inner",
         num_partitions=num_partitions,
         on=("table_id", "bucket"),
     )
 
-    thr = threshold_pct
-
-    def verify(batch: pa.Table) -> pa.Table:
+    def ordered(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.less(batch.column("vec_id"), batch.column("vec_b")))
-        a_ids = t.column("vec_id").to_numpy()
-        b_ids = t.column("vec_b").to_numpy()
-        keep_a, keep_b = [], []
-        va, vb = t.column("v"), t.column("v_b")
-        for i in range(t.num_rows):
-            x = np.frombuffer(va[i].as_py(), dtype=np.float64)
-            y = np.frombuffer(vb[i].as_py(), dtype=np.float64)
-            if float(x @ y) * 100 >= thr:
-                keep_a.append(int(a_ids[i]))
-                keep_b.append(int(b_ids[i]))
-        return pa.table(
-            {
-                "vec_a": pa.array(keep_a, pa.int64()),
-                "vec_b": pa.array(keep_b, pa.int64()),
-            }
-        )
+        return pa.table({"vec_a": t.column("vec_id"), "vec_b": t.column("vec_b")})
 
-    pairs = joined.map_batches(verify, batch_format="pyarrow")
-    # a pair can collide in several tables — dedupe with an aggregate
     from ray.data.aggregate import Count
 
-    out = (
-        pairs.groupby(["vec_a", "vec_b"])
+    cand = (
+        joined.map_batches(ordered, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
         .aggregate(Count(alias_name="_nt"))
         .drop_columns(["_nt"])
     )
-    return out
+    cand = drop_empty_blocks(
+        cand, pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    )
+
+    with_a = cand.join(
+        vecs.rename_columns({"vec_id": "vec_a", "v": "v_a"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("vec_a",),
+    )
+    with_ab = drop_empty_blocks(with_a).join(
+        vecs.rename_columns({"vec_id": "vec_b", "v": "v_b"}),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("vec_b",),
+    )
+
+    thr = threshold_pct
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        # fixed-width payloads → one reshape per side, one vectorized
+        # row-wise dot (einsum), no per-row Python
+        va = np.frombuffer(
+            b"".join(batch.column("v_a").to_pylist()), dtype=np.float64
+        ).reshape(batch.num_rows, -1)
+        vb = np.frombuffer(
+            b"".join(batch.column("v_b").to_pylist()), dtype=np.float64
+        ).reshape(batch.num_rows, -1)
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos * 100 >= thr
+        return pa.table(
+            {
+                "vec_a": batch.column("vec_a").filter(pa.array(keep)),
+                "vec_b": batch.column("vec_b").filter(pa.array(keep)),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
 def lsh_topk(sf_dir: str, k: int = 10, query_id: int = 0, probe_hamming: int = 1) -> pd.DataFrame:

@@ -808,15 +808,22 @@ def crawl(
     )
 
 
-def read_store(out_dir: str, canonical_order: bool = False) -> Dataset:
+def read_store(
+    out_dir: str, canonical_order: bool = False, columns: list[str] | None = None
+) -> Dataset:
     """The crawl output as a Dataset (the reference's ``url`` table,
-    schema.py:11-19, with text inline instead of side files)."""
+    schema.py:11-19, with text inline instead of side files).
+
+    Pass ``columns`` to prune at the read — a query that never touches the
+    page ``text`` must not scan it (on a 10^10-row store the text column IS
+    the store; every metadata query would otherwise be a full-corpus scan)."""
     files = sorted(glob.glob(os.path.join(out_dir, "store", "r[0-9]*", "*.parquet")))
     if not files:  # empty store (e.g. freshly 'cobweb create'd) → empty table
         from spider_ray.stages.expand import STORE_SCHEMA
 
-        return ray.data.from_arrow(STORE_SCHEMA.empty_table())
-    ds = ray.data.read_parquet(files)
+        empty = STORE_SCHEMA.empty_table()
+        return ray.data.from_arrow(empty.select(columns) if columns else empty)
+    ds = ray.data.read_parquet(files, columns=columns)
     if canonical_order:
         ds = ds.sort(["depth", "discovery_rank"])
     return ds

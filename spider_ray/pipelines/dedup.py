@@ -57,10 +57,10 @@ _ROWS_PER_BAND = _MINHASH_PERMS // _BANDS
 
 
 def _docs(sf_dir: str, columns):
-    from spider_ray.blockutil import strip_schema_metadata
+    from spider_ray.blockutil import read_clean_parquet
 
-    return strip_schema_metadata(
-        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_clean_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
     )
 
 
@@ -157,7 +157,7 @@ def sketch_documents(docs: Dataset, n: int = 3) -> Dataset:
 def minhash_lsh_pairs(
     docs: Dataset | str,
     jaccard_threshold: float = 0.8,
-    num_partitions: int = 4,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """MinHash+LSH near-dup candidate generation + exact-Jaccard verify.
 
@@ -167,6 +167,10 @@ def minhash_lsh_pairs(
     the SQL oracle at exact-boundary pairs). Shuffles carry only sketches,
     band keys and id pairs; text moves once (into the sketch pass)."""
     pct = int(round(jaccard_threshold * 100))
+    if num_partitions is None:
+        from spider_ray.blockutil import default_join_partitions
+
+        num_partitions = default_join_partitions()
     if isinstance(docs, str):
         # re-split: a single parquet file arrives as one block and the
         # shingle-hash pass is CPU-heavy — one task would serialize it
@@ -353,14 +357,12 @@ def embedding_near_dup_pairs(
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     slice_ref = ray.put((ids, m))
 
-    from spider_ray.blockutil import strip_schema_metadata
+    from spider_ray.blockutil import read_clean_parquet
 
-    ds = strip_schema_metadata(
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"),
-            columns=["vec_id", "embedding"],
-            filter=pc.field("vec_id") < max_id,
-        )
+    ds = read_clean_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < max_id,
     )
 
     def pairs(batch: pd.DataFrame) -> pa.Table:

@@ -72,7 +72,9 @@ class FakeDecoder:
 def docs_as_payloads(sf_dir: str) -> Dataset:
     """Stand-in multimodal table: documents.text utf-8-encoded as the opaque
     binary payload column (the driver testdata has no real binary column)."""
-    ds = ray.data.read_parquet(
+    from spider_ray.blockutil import read_clean_parquet
+
+    ds = read_clean_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 

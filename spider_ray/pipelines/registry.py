@@ -87,8 +87,9 @@ QUERIES = {
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     "simhash_table": dedup.simhash_table,
     "embedding_near_dup": dedup.embedding_near_dup_pairs,
-    # scale path: LSH-bucketed candidate pairs + exact verify — approximate
-    # (recall-gated in pytest), so rows-only for the driver
+    # scale path: LSH-bucketed candidate pairs (metadata-only join) + exact
+    # verify; the default (n_planes=3, n_tables=24) gives recall 1.0 on the
+    # deterministic fixtures, so the exact all-pairs SQL is its oracle
     "embedding_near_dup_lsh": ann.embedding_near_dup_lsh,
     "embedding_topk": ann.brute_topk,
     # exact mode (nprobe == n_clusters probes every cluster) → the IVF
@@ -266,6 +267,14 @@ ORACLE_SQL = {
     "embedding_near_dup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b "
         "WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding)*100 >= 40"
+    ),
+    # LSH is only the candidate generator (every candidate exact-verified;
+    # defaults give recall 1.0 on these fixtures — checked exhaustively), so
+    # the UNBOUNDED exact all-pairs answer is the oracle
+    "embedding_near_dup_lsh": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding)*100 >= 40"
     ),
     "payload_bytes": (

@@ -32,19 +32,18 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _read(sf_dir: str, name: str, columns: list[str]) -> Dataset:
-    """read_parquet with the pandas schema-metadata blob stripped — it
-    makes hash(Schema) raise in every downstream coalescing step (see
-    blockutil.strip_schema_metadata)."""
-    from spider_ray.blockutil import strip_schema_metadata
+    """Pruned read with the pandas schema-metadata blob stripped AT the
+    read (see blockutil.read_clean_parquet) — the blob makes hash(Schema)
+    raise in every coalescing step, including the read op's own
+    SplitBlocks."""
+    from spider_ray.blockutil import read_clean_parquet
 
-    return strip_schema_metadata(
-        ray.data.read_parquet(_t(sf_dir, name), columns=columns)
-    )
+    return read_clean_parquet(_t(sf_dir, name), columns=columns)
 
 
 def count_documents(sf_dir: str) -> pa.Table:
     """A1 count_all (reference postgres_database.py:184-200 → ds.count())."""
-    n = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]).count()
+    n = _read(sf_dir, "documents", ["doc_id"]).count()
     return pa.table({"n": pa.array([n], pa.int64())})
 
 
@@ -223,15 +222,33 @@ def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Data
 
 def top_events_per_type(sf_dir: str, k: int = 3) -> Dataset:
     """Top-k-per-group: the k highest-value events of each type
-    (deterministic tie-break by event_id) — groupby + per-group head."""
+    (deterministic tie-break by event_id).
+
+    Physical shape: per-BLOCK partial top-k (vectorized pandas sort +
+    cumcount — C level), then a merge of the ≤ k × n_blocks × n_types
+    partial rows. The old ``groupby.map_groups`` put ALL rows of one
+    event_type in one task — with few types that is a handful of giant
+    tasks; partial-then-merge shuffles only k rows per (type, block)."""
     ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(value_c=_cents(g["value"].to_numpy()))
-        g = g.sort_values(["value_c", "event_id"], ascending=[False, True]).head(k)
-        return g[["event_type", "event_id", "value_c"]]
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch
+        if "value_c" not in d.columns:
+            d = d.assign(value_c=_cents(d["value"].to_numpy()))[
+                ["event_type", "event_id", "value_c"]
+            ]
+        d = d.sort_values(
+            ["event_type", "value_c", "event_id"], ascending=[True, False, True]
+        )
+        keep = d.groupby("event_type", sort=False).cumcount() < k
+        return d.loc[keep]
 
-    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+    partials = ds.map_batches(local_topk, batch_format="pandas", batch_size=16384)
+    # merge level: partials are metadata-sized (k per type per block); at a
+    # 10^6-block tier add one intermediate repartition(cpus) level first
+    return partials.repartition(1).map_batches(
+        local_topk, batch_format="pandas", batch_size=None
+    )
 
 
 def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
@@ -240,16 +257,51 @@ def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+def sessionize(
+    sf_dir: str, gap_minutes: int = 30, num_partitions: int | None = None
+) -> Dataset:
     """Session counts per user (streaming-shaped op per SURVEY.md §2.6 RD
-    mapping): partition by user, order by ts within group, count gap-starts.
-    A new session begins when ts − prev_ts > gap."""
+    mapping): a new session begins when ts − prev_ts > gap.
+
+    Physical shape: hash-partition by ``hash(user_id) % P`` (every user's
+    rows land in exactly one partition), then ONE vectorized pass per
+    partition: lexsort by (user, ts), boundary masks via shifted compares,
+    per-user counts via ``np.add.reduceat``. The old per-USER
+    ``groupby.map_groups`` paid one Python interpreter call per user — 10^9
+    round-trips at the design point; this pays P. (The partition key is an
+    explicit int shard column + ``groupby(_shard)`` rather than
+    ``repartition(keys=...)``, which requires the HASH_SHUFFLE strategy —
+    measured 12× slower than the default sort shuffle in this environment;
+    sorting a P-valued int key is the cheap kind of sort shuffle.)"""
+    import ray as _ray
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
+    if num_partitions is None:
+        num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 4)))
 
-    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy())
-        n = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+    def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["user_id"].to_numpy()) % num_partitions
+        return b.assign(_shard=h.astype(np.int64))
 
-    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")
+    part = ds.map_batches(add_shard, batch_format="pandas")
+
+    def shard_sessions(b: pd.DataFrame) -> pd.DataFrame:
+        uid = b["user_id"].to_numpy()
+        ts = b["ts"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_start = np.empty(len(uid), dtype=bool)
+        gap_start[0] = True
+        gap_start[1:] = (ts[1:] - ts[:-1]) > gap
+        starts = (new_user | gap_start).astype(np.int64)
+        run_idx = np.flatnonzero(new_user)
+        return pd.DataFrame(
+            {"user_id": uid[run_idx], "n_sessions": np.add.reduceat(starts, run_idx)}
+        )
+
+    # one vectorized call per SHARD (P calls total), never per user
+    return part.groupby("_shard").map_groups(shard_sessions, batch_format="pandas")

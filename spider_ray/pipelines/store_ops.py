@@ -33,7 +33,9 @@ def catch(out_dir: str, parent_url: str, limit: int = 10) -> Dataset:
 
     key = human_repr(canonicalize(ensure_scheme(parent_url)))
     LOG.info("catch parent=%s limit=%d", key, limit)
-    ds = read_store(out_dir)
+    # column-pruned read: the flagship user query must never scan the page
+    # text bytes (the reference SELECTs url,title only, :153)
+    ds = read_store(out_dir, columns=["url", "title", "parent", "discovery_rank"])
     # vectorized equality filter — NOT an interpolated expr string (the key
     # is percent-DECODED, so it can legally contain quotes/spaces)
     return (
@@ -51,9 +53,16 @@ def catch_contains(out_dir: str, fragment: str, limit: int = 10) -> Dataset:
     """The Redis backend's alternate lookup semantics: substring match over
     keys, stop at limit (redis_database.py:108-134 ``SCAN MATCH *x*``).
     Documented variant; ``catch`` (SQL equality) is canonical."""
-    ds = read_store(out_dir)
+    import pyarrow.compute as pc
+
+    ds = read_store(out_dir, columns=["url", "title", "discovery_rank"])
     return (
-        ds.filter(lambda row: fragment in row["url"])
+        # vectorized substring match (a per-row Python lambda here cost one
+        # interpreter call per store row)
+        ds.map_batches(
+            lambda t: t.filter(pc.match_substring(t["url"], fragment)),
+            batch_format="pyarrow",
+        )
         .sort("discovery_rank")
         .limit(limit)
         .select_columns(["url", "title"])
@@ -158,7 +167,7 @@ def upsert_url(
         _rewrite_part(f, pa.table(cols, schema=tbl.schema))
         return old
 
-    ds = read_store(out_dir)
+    ds = read_store(out_dir, columns=["discovery_rank"])  # never scan text
     max_rank = int(ds.max("discovery_rank")) if ds.count() else -1
     rounds = sorted(glob.glob(os.path.join(out_dir, "store", "r[0-9]*")))
     rdir = rounds[-1] if rounds else os.path.join(out_dir, "store", "r0000")
@@ -226,9 +235,11 @@ def reconcile_stores(old_dir: str, new_dir: str, out_path: str, overwrite: bool 
     from spider_ray.blockutil import drop_empty_blocks
 
     old_ds = read_store(old_dir)
+    probe = read_store(old_dir, columns=["discovery_rank"])  # offset probe
+    # scans ranks only, not the page text
     rank_offset = 0
-    if old_ds.count() > 0:
-        rank_offset = int(old_ds.max("discovery_rank")) + 1
+    if probe.count() > 0:
+        rank_offset = int(probe.max("discovery_rank")) + 1
     want = 1 if overwrite else 0
     _GEN_SHIFT = 48  # ranks stay < 2^48 — claim.RANK_BITS is 42
 
@@ -254,7 +265,14 @@ def reconcile_stores(old_dir: str, new_dir: str, out_path: str, overwrite: bool 
     winners = drop_empty_blocks(
         winners, pa.schema([("url", pa.string()), ("_k", pa.int64())])
     )
-    merged = rows.join(winners, join_type="inner", num_partitions=8, on=("url", "_k"))
+    from spider_ray.blockutil import default_join_partitions
+
+    merged = rows.join(
+        winners,
+        join_type="inner",
+        num_partitions=default_join_partitions(floor=8),
+        on=("url", "_k"),
+    )
 
     # a store holding byte-identical duplicate rows (same url AND rank —
     # e.g. a duplicated part file) matches the winning _k once per copy and

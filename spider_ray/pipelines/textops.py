@@ -56,7 +56,9 @@ LANG_MARKERS = [
 
 
 def _docs(sf_dir: str, columns: list[str]) -> Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    from spider_ray.blockutil import read_clean_parquet
+
+    return read_clean_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def token_counts(sf_dir: str) -> Dataset:

@@ -193,7 +193,25 @@ def fetch_indexed(
     )
 
 
-def fetch_partitioned(frontier: Dataset, corpus_path: str) -> Dataset:
+# one pyarrow dataset handle per worker PROCESS (not per group): the handle
+# discovers and caches the corpus file listing + parquet metadata, which is
+# exactly the work a per-group re-open would repeat per host per round
+_PADS_CACHE: dict = {}
+
+
+def _corpus_pads(path: str):
+    d = _PADS_CACHE.get(path)
+    if d is None:
+        import pyarrow.dataset as pads
+
+        _PADS_CACHE.clear()  # one corpus per run — don't leak old handles
+        d = _PADS_CACHE[path] = pads.dataset(path)
+    return d
+
+
+def fetch_partitioned(
+    frontier: Dataset, corpus_path: str, sub_splits: int = 16
+) -> Dataset:
     """Scale path for corpora far larger than the cluster object store:
     read ONLY the corpus files covering the frontier.
 
@@ -202,13 +220,25 @@ def fetch_partitioned(frontier: Dataset, corpus_path: str) -> Dataset:
     ``min≤url≤max`` range + ``isin`` predicate lets parquet file/row-group
     statistics prune everything the round doesn't touch — per-round I/O is
     O(frontier's hosts), not O(corpus). This is the layout-aware pattern
-    that replaces the broadcast index at the 100 TB tier."""
+    that replaces the broadcast index at the 100 TB tier.
+
+    Hot-host safety (SURVEY.md §7 hard-part 5): the group key is
+    ``(host, rank % sub_splits)``, not host alone — a host owning 50 % of a
+    10^10-row frontier lands in ``sub_splits`` parallel tasks of bounded
+    size instead of ONE giant task. The trade: sub-groups of one host can
+    touch overlapping row-groups of that host's files (amplification ≤
+    sub_splits on the hot host only, against row-group-stat-pruned reads);
+    the wall-clock win is the 1/sub_splits task critical path."""
     import pandas as pd
-    import pyarrow.dataset as pads
+
+    def add_sub(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            _sub=(b["rank"].to_numpy() % sub_splits).astype(np.int64)
+        )
 
     def fetch_group(g: pd.DataFrame) -> pd.DataFrame:
         urls = sorted(g["url"].tolist())
-        dset = pads.dataset(corpus_path)
+        dset = _corpus_pads(corpus_path)
         flt = (
             (pc.field("url") >= urls[0])
             & (pc.field("url") <= urls[-1])
@@ -218,7 +248,11 @@ def fetch_partitioned(frontier: Dataset, corpus_path: str) -> Dataset:
         m = t.to_pandas().merge(g[["url", "depth", "rank"]], on="url", how="inner")
         return m[["url", "depth", "rank", "html"]]
 
-    return frontier.groupby("host").map_groups(fetch_group, batch_format="pandas")
+    return (
+        frontier.map_batches(add_sub, batch_format="pandas")
+        .groupby(["host", "_sub"])
+        .map_groups(fetch_group, batch_format="pandas")
+    )
 
 
 def fetch_join(frontier: Dataset, corpus_path: str, num_partitions: int) -> Dataset:

@@ -274,3 +274,24 @@ def test_corpus_index_all_miss_batch():
     got = idx.lookup(mixed)
     assert got.column("url").to_pylist() == ["https://a/y"]
     assert got.column("html").to_pylist() == [b"<p>y</p>"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_partitioned_fetch_mode_full_skew(tmp_path):
+    # 100 % skew: ONE host owns the whole frontier. The (host, rank % S)
+    # sub-split must keep oracle equivalence while bounding task sizes.
+    corpus = write_corpus(
+        str(tmp_path / "hot"), n_pages=150, n_hosts=1, links_per_page=5
+    )
+    cdict = corpus_as_dict(
+        build_pages_table(n_pages=150, n_hosts=1, links_per_page=5)
+    )
+    seeds = ["https://h0.example/p0"]
+    from spider_ray.pipelines.crawl import crawl, read_store
+
+    res = crawl(
+        corpus, seeds, str(tmp_path / "out"), max_depth=3, fetch_mode="partitioned"
+    )
+    store = read_store(str(tmp_path / "out")).to_pandas()
+    oracle = crawl_oracle(cdict, seeds, max_depth=3)
+    _assert_matches_oracle(res, store, oracle)

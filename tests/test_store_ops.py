@@ -128,3 +128,23 @@ def test_reconcile_survives_duplicated_part_file(crawled):
     assert merged["url"].is_unique
     assert merged["discovery_rank"].is_unique
     assert merged["url"].nunique() == len(set(read_store(out).to_pandas()["url"]) | set(read_store(out_dup).to_pandas()["url"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_catch_surface_never_reads_text(crawled):
+    # catch/catch_contains prune at the read: the page text column must not
+    # leave storage for a url/title lookup (at the 10^10-row tier the text
+    # column IS the store)
+    from spider_ray.pipelines.crawl import read_store
+    from spider_ray.pipelines.store_ops import catch, catch_contains
+
+    _, out, _ = crawled
+    pruned = read_store(out, columns=["url", "title", "parent", "discovery_rank"])
+    assert "text" not in pruned.schema().names
+
+    df = catch(out, "h0.example/p0", limit=5).to_pandas()
+    assert list(df.columns) == ["url", "title"] and len(df) == 5
+
+    sub = catch_contains(out, "h0.example", limit=4).to_pandas()
+    assert list(sub.columns) == ["url", "title"]
+    assert all("h0.example" in u for u in sub["url"])
