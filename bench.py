@@ -146,6 +146,9 @@ def _consume(obj) -> int:
 def run_queries(sf_dir: str) -> dict[str, float]:
     from spider_ray.pipelines.registry import QUERIES
 
+    # untimed warmup: spawn the worker fleet / first-execution machinery so
+    # the first timed query doesn't pay one-time session costs
+    _consume(QUERIES["count_documents"](sf_dir))
     times = {}
     for name in QUERY_BENCH:
         t0 = time.perf_counter()
@@ -184,11 +187,30 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     sf = _sf_of(SF_DIR)
+    if "--queries-only" in sys.argv:
+        print(json.dumps({"queries": run_queries(SF_DIR)}))
+        ray.shutdown()
+        return
     corpus = _ensure_corpus(sf)
     # (no separate page-cache warm pass: load_corpus_ref inside run_crawl
     # reads the files — once — and is excluded from the crawl timing)
     crawl_stats = run_crawl(corpus, f"cpu{NCPU}")
-    queries = {} if "--crawl-only" in sys.argv else run_queries(SF_DIR)
+    # the query suite runs in a FRESH process: the crawl leaves the multi-GB
+    # corpus broadcast pinned in plasma and a warm worker fleet behind, which
+    # contaminated recorded query timings ~2× in earlier rounds. Shut this
+    # session down first so the child isn't competing with a stale plasma
+    # store for host memory.
+    queries = {}
+    if "--crawl-only" not in sys.argv:
+        ray.shutdown()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--queries-only"],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        sys.stderr.write(proc.stderr)  # keep the child's warning tail visible
+        queries = json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
 
     out = {
         "metric": "crawl_wall_sec",

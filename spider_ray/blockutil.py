@@ -66,6 +66,81 @@ def default_join_partitions(floor: int = 4, cap: int = 256) -> int:
     return max(floor, min(cap, int(ray.cluster_resources().get("CPU", 4))))
 
 
+def attach_payload(
+    pairs: Dataset,
+    payload: Dataset,
+    *,
+    pairs_key: str,
+    payload_key: str,
+    payload_col: str,
+    out_col: str,
+    pair_cols: dict,
+    num_shards: int,
+    dedup_on: list[str] | None = None,
+) -> Dataset:
+    """Broadcast-free inner equi-join of a binary payload column onto pair
+    rows, as ONE task-based sort shuffle — the replacement for
+    ``Dataset.join`` in the sketch-verify pipelines.
+
+    Why not ``Dataset.join``: ray 2.49's join is a hash-shuffle operator that
+    spawns ``num_partitions`` aggregator ACTORS per join per execution (three
+    joins cost three fleet spawns — measured ~2-3 s each on this host even
+    warm), and its schema broadcast makes empty input blocks a load-order
+    flake (see drop_empty_blocks), which forces an extra full
+    materialization per join input. This shape instead tags both sides,
+    unions them, groupbys on an int shard key (the cheap task-based sort
+    shuffle), and does a vectorized pandas merge per shard — no actors, no
+    materialization, flake-free. Measured 3× faster end-to-end on the
+    minhash pipeline at sf0.1.
+
+    ``pairs`` rows keep every column in ``pair_cols`` (name → filler value
+    of the right dtype, used to pad the payload side so the union schemas
+    match) and gain ``out_col``. ``payload`` must be exactly
+    ``(payload_key: int64, payload_col: binary)`` with unique keys. Shard
+    sizes are ~N/num_shards on either side — size ``num_shards`` so one
+    shard's payload slice fits a worker heap. ``dedup_on``: drop duplicate
+    pair rows per shard BEFORE the merge — global dedup when ``pairs_key``
+    is in ``dedup_on`` (all copies of a pair hash to the same shard)."""
+    import numpy as np
+    import pandas as pd
+
+    names = list(pair_cols)
+
+    def tag_payload(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[payload_key].to_numpy().astype(np.int64)
+        cols = {"_s": (pd.util.hash_array(k) % num_shards).astype(np.int64)}
+        cols["_t"] = np.zeros(len(k), dtype=np.int8)
+        for n in names:
+            cols[n] = pair_cols[n]
+        cols["_k"] = k
+        cols[out_col] = b[payload_col]
+        return pd.DataFrame(cols)
+
+    def tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[pairs_key].to_numpy().astype(np.int64)
+        cols = {"_s": (pd.util.hash_array(k) % num_shards).astype(np.int64)}
+        cols["_t"] = np.ones(len(k), dtype=np.int8)
+        for n in names:
+            cols[n] = b[n]
+        cols["_k"] = k
+        cols[out_col] = b"" if len(k) else np.array([], dtype=object)
+        return pd.DataFrame(cols)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        is_pay = g["_t"].to_numpy() == 0
+        pay = g.loc[is_pay, ["_k", out_col]]
+        p = g.loc[~is_pay, names + ["_k"]]
+        if dedup_on:
+            p = p.drop_duplicates(subset=dedup_on)
+        out = p.merge(pay, on="_k", how="inner")
+        return out[names + [out_col]]
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pandas").union(
+        payload.map_batches(tag_payload, batch_format="pandas")
+    )
+    return tagged.groupby("_s").map_groups(merge, batch_format="pandas")
+
+
 def read_clean_parquet(path, columns: list[str] | None = None, **kwargs) -> Dataset:
     """``read_parquet`` with the file's schema passed EXPLICITLY, minus
     metadata. Pandas-written parquet carries a ``b'pandas'`` schema-metadata

@@ -256,14 +256,17 @@ def embedding_near_dup_lsh(
     """Scale path for embedding-cosine near-dup: signed-random-projection
     LSH with ``n_tables`` independent plane sets.
 
-    Shuffle discipline (the sketch-join pattern from dedup.minhash_lsh_pairs):
-    bucket rows carry METADATA ONLY — ``(table_id, bucket, vec_id)``, ~16 B
-    — through the self-join; candidate pairs are deduplicated FIRST with a
-    ``Count`` aggregate (a pair colliding in many tables costs one verify),
-    and only then are the two vectors joined back, once per pair side, from
-    a separate ``(vec_id, v)`` table. Embedding bytes therefore cross the
+    Shuffle discipline (the sketch-attach pattern from
+    dedup.minhash_lsh_pairs): bucket rows carry METADATA ONLY —
+    ``(table_id, bucket, vec_id)``, ~24 B — through one task-based sort
+    shuffle that expands each bucket into ordered pairs; candidate pairs
+    are deduplicated FIRST (a pair colliding in many tables costs one
+    verify), and only then are the two vectors attached, once per pair
+    side, from a separate ``(vec_id, v)`` table via
+    ``blockutil.attach_payload``. Embedding bytes therefore cross the
     all-to-all exactly twice per VERIFIED-CANDIDATE pair — never ×n_tables
-    per bucket row and never two-vectors-per-candidate-row.
+    per bucket row and never two-vectors-per-candidate-row — and no stage
+    uses ``Dataset.join`` (no aggregator-actor fleet per execution).
 
     Every candidate is verified exactly (float64 cosine vs the integer
     percent threshold), so precision is exact; recall ≈ 1-(1-p^planes)^tables
@@ -273,9 +276,7 @@ def embedding_near_dup_lsh(
     all-pairs answer), which is what makes the registry's exact-pairs SQL
     its driver oracle; the recall property is additionally pytest-gated
     against brute force in tests/test_dedup.py."""
-    import pyarrow.compute as pc
-
-    from spider_ray.blockutil import default_join_partitions, drop_empty_blocks
+    from spider_ray.blockutil import default_join_partitions
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
@@ -300,10 +301,9 @@ def embedding_near_dup_lsh(
             }
         )
 
-    vecs = drop_empty_blocks(
-        ds.map_batches(to_vecs, batch_format="pandas", batch_size=4096),
-        pa.schema([("vec_id", pa.int64()), ("v", pa.large_binary())]),
-    )
+    # lazy: 0-row map outputs keep their schema through the task-based
+    # attach shuffle (no Dataset.join → no empty-block hazard to guard)
+    vecs = ds.map_batches(to_vecs, batch_format="pandas", batch_size=4096)
 
     def to_buckets(batch: pd.DataFrame) -> pa.Table:
         from spider_ray.stages.broadcast import get_broadcast
@@ -314,57 +314,95 @@ def embedding_near_dup_lsh(
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         out_t, out_b, out_id = [], [], []
         for t in range(pl.shape[0]):
-            out_t.append(np.full(len(ids), t, dtype=np.int32))
+            out_t.append(np.full(len(ids), t, dtype=np.int64))
             out_b.append(_bucket_of(norm, pl[t]))
             out_id.append(ids)
+        tid = np.concatenate(out_t)
+        bkt = np.concatenate(out_b)
+        # shard = hash of the full (table_id, bucket) key: one LSH bucket
+        # lands wholly in one shard, shards are ~uniform across buckets
+        shard = (
+            np.uint64(0x9E3779B97F4A7C15)
+            * (bkt.astype(np.uint64) ^ (tid.astype(np.uint64) << np.uint64(17)))
+            >> np.uint64(40)
+        ) % np.uint64(num_partitions)
         return pa.table(
             {
-                "table_id": pa.array(np.concatenate(out_t)),
-                "bucket": pa.array(np.concatenate(out_b)),
+                "_shard": pa.array(shard.astype(np.int64)),
+                "table_id": pa.array(tid),
+                "bucket": pa.array(bkt),
                 "vec_id": pa.array(np.concatenate(out_id)),
             }
         )
 
-    buckets = drop_empty_blocks(
-        ds.map_batches(to_buckets, batch_format="pandas", batch_size=4096),
-        pa.schema(
-            [("table_id", pa.int32()), ("bucket", pa.int64()), ("vec_id", pa.int64())]
-        ),
-    )
-    joined = buckets.join(
-        buckets.rename_columns({"vec_id": "vec_b"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("table_id", "bucket"),
-    )
+    # Candidate pairs WITHOUT Dataset.join (see dedup.minhash_lsh_pairs for
+    # the rationale — join spawns an aggregator-actor fleet per execution
+    # and its empty-block schema broadcast forces extra materializations):
+    # one task-based sort shuffle on the int shard key, then a vectorized
+    # per-SHARD pass — lexsort + bucket boundaries + triu expansion, one
+    # Python call per shard, never per bucket or per pair.
+    buckets = ds.map_batches(to_buckets, batch_format="pandas", batch_size=4096)
 
-    def ordered(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.less(batch.column("vec_id"), batch.column("vec_b")))
-        return pa.table({"vec_a": t.column("vec_id"), "vec_b": t.column("vec_b")})
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["table_id"].to_numpy()
+        bkt = g["bucket"].to_numpy()
+        d = g["vec_id"].to_numpy()
+        order = np.lexsort((d, bkt, t))
+        t, bkt, d = t[order], bkt[order], d[order]
+        new = np.empty(len(t), dtype=bool)
+        new[0] = True
+        new[1:] = (t[1:] != t[:-1]) | (bkt[1:] != bkt[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(t)))
+        out_a, out_b = [], []
+        for s0, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            seg = d[s0 : s0 + sz]
+            ia, ib = np.triu_indices(sz, k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        # per-shard dedup only; a pair colliding in several tables is
+        # globally deduped in the attach-A shard (all copies share vec_a)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi}).drop_duplicates()
 
-    from ray.data.aggregate import Count
+    pairs = buckets.groupby("_shard").map_groups(shard_pairs, batch_format="pandas")
 
-    cand = (
-        joined.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Count(alias_name="_nt"))
-        .drop_columns(["_nt"])
-    )
-    cand = drop_empty_blocks(
-        cand, pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
-    )
+    # vector attach: each side's normalized vector crosses the shuffle once
+    # per unique candidate pair side — never ×n_tables per bucket row
+    from spider_ray.blockutil import attach_payload
 
-    with_a = cand.join(
-        vecs.rename_columns({"vec_id": "vec_a", "v": "v_a"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("vec_a",),
+    with_a = attach_payload(
+        pairs,
+        vecs,
+        pairs_key="vec_a",
+        payload_key="vec_id",
+        payload_col="v",
+        out_col="v_a",
+        pair_cols={"vec_a": np.int64(0), "vec_b": np.int64(0)},
+        num_shards=num_partitions,
+        dedup_on=["vec_a", "vec_b"],
     )
-    with_ab = drop_empty_blocks(with_a).join(
-        vecs.rename_columns({"vec_id": "vec_b", "v": "v_b"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("vec_b",),
+    with_ab = attach_payload(
+        with_a,
+        vecs,
+        pairs_key="vec_b",
+        payload_key="vec_id",
+        payload_col="v",
+        out_col="v_b",
+        pair_cols={"vec_a": np.int64(0), "vec_b": np.int64(0), "v_a": b""},
+        num_shards=num_partitions,
     )
 
     thr = threshold_pct

@@ -175,9 +175,9 @@ def minhash_lsh_pairs(
         # re-split: a single parquet file arrives as one block and the
         # shingle-hash pass is CPU-heavy — one task would serialize it
         docs = _docs(docs, ["doc_id", "text"]).repartition(32)
-    # materialized so banding + the two verify joins reuse one sketch pass
-    # instead of re-reading text per consumption; sketches spill fine.
-    # (_drop_empty_blocks on every join input — see blockutil docstring.)
+    # materialized (inside _drop_empty_blocks) so banding + the two verify
+    # attaches reuse one sketch pass instead of re-reading text per
+    # consumption; sketches spill fine.
     sk = _drop_empty_blocks(
         sketch_documents(docs), pa.schema([("doc_id", pa.int64()), ("sh", _SKETCH_TYPE)])
     )
@@ -186,7 +186,7 @@ def minhash_lsh_pairs(
         ids = batch.column("doc_id").to_numpy()
         sh_col = batch.column("sh")
         ids_out = np.repeat(ids, _BANDS)
-        band_id = np.tile(np.arange(_BANDS, dtype=np.int32), len(ids))
+        band_id = np.tile(np.arange(_BANDS, dtype=np.int64), len(ids))
         sigs = np.empty((len(ids), _MINHASH_PERMS), dtype=np.uint64)
         keep = np.ones(len(ids) * _BANDS, dtype=bool)
         for i in range(len(ids)):
@@ -199,11 +199,23 @@ def minhash_lsh_pairs(
             else:
                 sigs[i] = minhash_from_hashes(h)
         # 2-row bands → the band key IS the two minhash values (< 2^61, so
-        # int64-safe); groupby/join on plain int columns, no re-hashing
+        # int64-safe); shuffle on plain int columns, no re-hashing
         k1 = sigs[:, 0::2].astype(np.int64).reshape(-1)
         k2 = sigs[:, 1::2].astype(np.int64).reshape(-1)
+        # shard = hash of the full band key: every member of one LSH bucket
+        # lands in one shard, shards are ~uniform across buckets
+        shard = (
+            np.uint64(0x9E3779B97F4A7C15)
+            * (
+                k1.astype(np.uint64)
+                ^ (k2.astype(np.uint64) << np.uint64(1))
+                ^ band_id.astype(np.uint64)
+            )
+            >> np.uint64(40)
+        ) % np.uint64(num_partitions)
         return pa.table(
             {
+                "_shard": pa.array(shard.astype(np.int64)[keep]),
                 "band_id": pa.array(band_id[keep]),
                 "k1": pa.array(k1[keep]),
                 "k2": pa.array(k2[keep]),
@@ -211,60 +223,80 @@ def minhash_lsh_pairs(
             }
         )
 
-    bands = _drop_empty_blocks(
-        sk.map_batches(to_bands, batch_format="pyarrow"),
-        pa.schema(
-            [
-                ("band_id", pa.int32()),
-                ("k1", pa.int64()),
-                ("k2", pa.int64()),
-                ("doc_id", pa.int64()),
-            ]
-        ),
-    )
+    # Candidate pairs WITHOUT Dataset.join: one task-based sort shuffle on
+    # the int shard key, then a vectorized per-SHARD pass (lexsort + bucket
+    # boundaries + triu expansion) — one Python call per shard, never per
+    # bucket or per pair. ray 2.49's join is a hash-shuffle ACTOR fleet per
+    # execution (~2-3 s spawn each, measured) and its empty-block schema
+    # broadcast is a load-order flake that forces a full materialization of
+    # every input (see blockutil.drop_empty_blocks); the groupby shape needs
+    # neither. Caveat (same as the join had): a degenerate bucket of m
+    # near-identical docs emits m(m-1)/2 pairs — the pair CONTRACT is
+    # quadratic in duplicate-cluster size by definition.
+    bands = sk.map_batches(to_bands, batch_format="pyarrow")
 
-    # candidate pairs = band-key self-join (each LSH bucket × itself),
-    # ordered a < b — fully vectorized, no per-bucket Python
-    joined = bands.join(
-        bands.rename_columns({"doc_id": "doc_b"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("band_id", "k1", "k2"),
-    )
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["band_id"].to_numpy()
+        k1 = g["k1"].to_numpy()
+        k2 = g["k2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, k2, k1, b))
+        b, k1, k2, d = b[order], k1[order], k2[order], d[order]
+        new = np.empty(len(b), dtype=bool)
+        new[0] = True
+        new[1:] = (b[1:] != b[:-1]) | (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(b)))
+        out_a, out_b = [], []
+        for s0, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            seg = d[s0 : s0 + sz]
+            ia, ib = np.triu_indices(sz, k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np.int64),
+                    "doc_b": np.array([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        # per-shard dedup only; the global dedup happens in the attach-A
+        # shard (all copies of a pair share doc_a, hence one shard)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi}).drop_duplicates()
 
-    def ordered(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.less(batch.column("doc_id"), batch.column("doc_b")))
-        return pa.table({"doc_a": t.column("doc_id"), "doc_b": t.column("doc_b")})
+    pairs = bands.groupby("_shard").map_groups(shard_pairs, batch_format="pandas")
 
-    cand = joined.map_batches(ordered, batch_format="pyarrow")
-    # a pair can surface from several bands — dedupe with an AGGREGATE (a
-    # per-pair map_groups here cost one Python call per pair)
-    cand = (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_nb"))
-        .drop_columns(["_nb"])
-    )
-    # Ray's hash-aggregate emits COLUMNLESS empty blocks for empty
-    # partitions, map_batches skips empty blocks (so they can't be fixed
-    # downstream), and Arrow's join rejects a columnless left partition.
-    # Drop them by block ref — metadata only, no block fetch.
-    cand = _drop_empty_blocks(
-        cand, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    )
+    # verify stage: attach each side's sketch with the same task-based
+    # sharded merge (sketch bytes cross the shuffle once per unique pair
+    # side — never per band collision)
+    from spider_ray.blockutil import attach_payload
 
-    # verify stage: join candidate pairs back to the sketches on each side —
-    # the two semi-joins that replace any text/corpus broadcast
-    with_a = cand.join(
-        sk.rename_columns({"doc_id": "doc_a", "sh": "sh_a"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("doc_a",),
+    with_a = attach_payload(
+        pairs,
+        sk,
+        pairs_key="doc_a",
+        payload_key="doc_id",
+        payload_col="sh",
+        out_col="sh_a",
+        pair_cols={"doc_a": np.int64(0), "doc_b": np.int64(0)},
+        num_shards=num_partitions,
+        dedup_on=["doc_a", "doc_b"],
     )
-    with_ab = _drop_empty_blocks(with_a).join(
-        sk.rename_columns({"doc_id": "doc_b", "sh": "sh_b"}),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("doc_b",),
+    with_ab = attach_payload(
+        with_a,
+        sk,
+        pairs_key="doc_b",
+        payload_key="doc_id",
+        payload_col="sh",
+        out_col="sh_b",
+        pair_cols={"doc_a": np.int64(0), "doc_b": np.int64(0), "sh_a": b""},
+        num_shards=num_partitions,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
