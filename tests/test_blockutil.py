@@ -35,6 +35,65 @@ def test_drop_empty_blocks_all_empty_keeps_schema():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_attach_payload_inner_join_semantics():
+    """attach_payload == inner equi-join: matched keys gain the payload,
+    unmatched pair rows drop, payload-only keys never surface."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from spider_ray.blockutil import attach_payload
+
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"a": [1, 2, 9, 3], "b": [10, 20, 90, 30]})
+    ).repartition(3)
+    payload = ray.data.from_pandas(
+        pd.DataFrame({"pk": [1, 2, 3, 4], "pv": [b"x1", b"x2", b"x3", b"x4"]})
+    ).repartition(2)
+    out = attach_payload(
+        pairs,
+        payload,
+        pairs_key="a",
+        payload_key="pk",
+        payload_col="pv",
+        out_col="v",
+        pair_cols={"a": np.int64(0), "b": np.int64(0)},
+        num_shards=4,
+    ).to_pandas()
+    got = {(r.a, r.b, bytes(r.v)) for r in out.itertuples()}
+    # key 9 has no payload (dropped); key 4's payload has no pair (dropped)
+    assert got == {(1, 10, b"x1"), (2, 20, b"x2"), (3, 30, b"x3")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_attach_payload_dedup_on_is_global():
+    """dedup_on containing pairs_key dedups GLOBALLY: every copy of a pair
+    hashes to the same shard regardless of which input block it came from."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from spider_ray.blockutil import attach_payload
+
+    # the same (a, b) pair repeated across 4 separate input blocks
+    dup = pd.DataFrame({"a": [7], "b": [70]})
+    pairs = ray.data.from_pandas([dup, dup, dup, dup])
+    payload = ray.data.from_pandas(pd.DataFrame({"pk": [7], "pv": [b"p"]}))
+    out = attach_payload(
+        pairs,
+        payload,
+        pairs_key="a",
+        payload_key="pk",
+        payload_col="pv",
+        out_col="v",
+        pair_cols={"a": np.int64(0), "b": np.int64(0)},
+        num_shards=3,
+        dedup_on=["a", "b"],
+    ).to_pandas()
+    assert len(out) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_aggregate_then_join_with_empty_partitions():
     """The original failure shape: multi-block input → hash aggregate
     (emits zero-column blocks for empty partitions) → join."""

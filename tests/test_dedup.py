@@ -36,6 +36,42 @@ def test_minhash_lsh_finds_planted_dupes():
     assert exact.n_inter == exact.n_union  # jaccard exactly 1
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_pipelines_invariant_to_partition_count():
+    """VERDICT r2 item 6: the shuffle fan-out is a pure parallelism knob —
+    output must be identical at any num_partitions."""
+    import ray
+
+    from spider_ray.pipelines.ann import embedding_near_dup_lsh
+    from spider_ray.pipelines.dedup import minhash_lsh_pairs
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [BASE, BASE, NEAR, OTHER]})
+    )
+
+    def canon(df, cols):
+        return sorted(map(tuple, df[cols].itertuples(index=False)))
+
+    mh = [
+        canon(
+            minhash_lsh_pairs(docs, jaccard_threshold=0.6, num_partitions=p).to_pandas(),
+            ["doc_a", "doc_b", "n_inter", "n_union"],
+        )
+        for p in (2, 7)
+    ]
+    assert mh[0] == mh[1] and len(mh[0]) >= 3
+
+    sf = "/root/testdata/sf0.001"
+    emb = [
+        canon(
+            embedding_near_dup_lsh(sf, threshold_pct=40, num_partitions=p).to_pandas(),
+            ["vec_a", "vec_b"],
+        )
+        for p in (2, 7)
+    ]
+    assert emb[0] == emb[1] and len(emb[0]) >= 1
+
+
 def test_minhash_signature_deterministic_and_similar():
     from spider_ray.pipelines.dedup import minhash_signature
 
