@@ -171,17 +171,33 @@ def orders_by_segment(sf_dir: str) -> Dataset:
 
 
 def events_hourly(sf_dir: str) -> Dataset:
-    """Event-time tumbling window (1h) as a vectorized truncate + groupby."""
+    """Event-time tumbling window (1h) as a vectorized truncate + groupby.
+
+    The window key crosses the shuffle as int64 epoch-µs and is cast back to
+    timestamp[us] after the aggregate: Ray's sort-shuffle map re-materializes
+    key columns through numpy, where a datetime column nondeterministically
+    hits a lossy-precision conversion path (ray.air tensor_extensions warns);
+    an int key shuffles the same 8 bytes with no datetime handling at all."""
     ds = _read(sf_dir, "events", ["event_type", "ts"])
 
     def trunc(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return pa.table({"event_type": batch.column("event_type"), "hour": hour})
+        return pa.table(
+            {"event_type": batch.column("event_type"), "hour": hour.cast(pa.int64())}
+        )
+
+    def cast_back(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("hour"),
+            "hour",
+            batch.column("hour").cast(pa.timestamp("us")),
+        )
 
     return (
         ds.map_batches(trunc, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
         .aggregate(Count(alias_name="n"))
+        .map_batches(cast_back, batch_format="pyarrow")
     )
 
 
@@ -207,16 +223,28 @@ def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Data
                 pa.table(
                     {
                         "event_type": et,
-                        "window_start": pa.array(start.astype("datetime64[us]")),
+                        # int64 epoch-µs through the shuffle — see
+                        # events_hourly for why the key is not a timestamp
+                        "window_start": pa.array(
+                            start.astype("datetime64[us]").astype(np.int64)
+                        ),
                     }
                 )
             )
         return pa.concat_tables(outs)
 
+    def cast_back(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            batch.column("window_start").cast(pa.timestamp("us")),
+        )
+
     return (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"))
+        .map_batches(cast_back, batch_format="pyarrow")
     )
 
 
