@@ -4,17 +4,22 @@ SimHash, n-gram Jaccard, embedding-cosine — each shaped for the 100 TB tier:
 - **exact**: content-hash column (vectorized md5) → ``groupby(fp)`` →
   first-wins (min doc_id). One shuffle over (fp, doc_id) pairs only — the
   text never moves.
-- **MinHash+LSH**: per-doc shingle-hash SKETCHES (one blake2b per shingle)
-  are computed once and materialized; 64 minhashes derive from the sketch
-  (numpy universal hashes); 32 bands × 2 rows explode to
-  ``(band_id, k1, k2, doc_id)`` rows; candidate pairs come from a hash
-  SELF-JOIN on the band key (vectorized — no per-bucket Python); pairs are
-  deduplicated with a ``Count`` aggregate and verified by EXACT Jaccard over
-  the two docs' sketches, obtained by hash-JOINING the pairs against the
-  sketch table on doc_id — document text is never broadcast and never moves
-  after the sketch pass. With 2-row bands a J=0.8 pair is missed with
-  probability (1-J²)^32 ≈ 6e-15, so the LSH output equals the exact
-  all-pairs answer (the DuckDB oracle) at any realistic scale.
+- **MinHash+LSH**: per-doc shingle-hash SKETCHES (vectorized polynomial
+  over cached md5 word hashes) are computed once and materialized; 64
+  minhashes derive from the sketch (numpy universal hashes); 32 bands × 2
+  rows explode to ``(band_id, k1, k2, doc_id)`` rows sharded by band-key
+  hash; candidate pairs come from ONE task-based sort shuffle + a
+  vectorized per-shard pass (lexsort + bucket boundaries + triu — no
+  per-bucket Python, no ``Dataset.join`` actor fleets); pairs are deduped
+  in the attach shard and verified by EXACT Jaccard over the two docs'
+  sketches, attached via ``blockutil.attach_payload`` — document text is
+  never broadcast and never moves after the sketch pass. With 2-row bands
+  a J=0.8 pair is missed with probability (1-J²)^32 ≈ 6e-15, so the LSH
+  output equals the exact all-pairs answer (the DuckDB oracle) at any
+  realistic scale.
+- **n-gram Jaccard (direct)**: exact Jaccard over word-n-gram hash sets
+  within a bounded id slice (broadcast-slice × distributed blocks) — the
+  oracle-checked baseline whose unbounded scale path is MinHash+LSH.
 - **SimHash**: 64-bit sign-aggregated word-feature hash per doc; the word
   hash is md5-low-64 (DuckDB ``md5_number_lower``) so an ANSI-SQL oracle
   recomputes it exactly; near-dups = small Hamming distance.
@@ -129,6 +134,71 @@ def exact_dedup(sf_dir: str) -> Dataset:
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pandas")
     return ds.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold_pct: int = 30, max_id: int = 200, n: int = 3
+) -> Dataset:
+    """EXACT word-n-gram Jaccard near-dup pairs among doc_id < max_id — the
+    direct (non-sketched) member of the dedup family, computed as a
+    DISTRIBUTED block × broadcast-slice product (the same bounded contract
+    as embedding_near_dup_pairs): the id-bounded slice's shingle-hash sets
+    are broadcast once; every batch intersects its docs' sets against the
+    slice and emits qualifying pairs. Returns (doc_a, doc_b, n_inter,
+    n_union) with doc_a < doc_b and n_inter·100 ≥ threshold_pct·n_union,
+    n_union > 0. The per-pair ``np.intersect1d`` over sorted unique hash
+    arrays is O(pairs · set size) bounded by max_id² — the UNBOUNDED scale
+    path for this predicate is minhash_lsh_pairs (LSH candidates + the same
+    exact verify)."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.blockutil import read_clean_parquet
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", max_id)],
+    )
+    slice_ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    slice_sets = [_shingle_hashes(t, n) for t in tbl["text"].to_pylist()]
+    slice_ref = ray.put((slice_ids, slice_sets))
+
+    ds = read_clean_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < max_id,
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        all_ids, all_sets = get_broadcast(slice_ref)
+        bids = batch.column("doc_id").to_numpy()
+        bsets = [_shingle_hashes(t, n) for t in batch.column("text").to_pylist()]
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for bi, a in enumerate(bids):
+            sa = bsets[bi]
+            for sj, b in enumerate(all_ids):
+                if a >= b:
+                    continue
+                sb = all_sets[sj]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                if union > 0 and inter * 100 >= threshold_pct * union:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_i.append(inter)
+                    out_u.append(union)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "n_inter": pa.array(out_i, pa.int64()),
+                "n_union": pa.array(out_u, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096)
 
 
 # sketches travel as raw little-endian uint64 bytes: binary columns pass

@@ -85,6 +85,9 @@ QUERIES = {
     "shingle_stats": textops.shingle_stats,
     # dedup family / similarity
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    # direct exact-Jaccard baseline over the bounded id slice (its
+    # unbounded scale path is minhash_lsh_pairs)
+    "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "simhash_table": dedup.simhash_table,
     "embedding_near_dup": dedup.embedding_near_dup_pairs,
     # scale path: LSH-bucketed candidate pairs (metadata-only join) + exact
@@ -238,6 +241,22 @@ ORACLE_SQL = {
         "FROM s a JOIN s b ON a.doc_id < b.doc_id "
         "WHERE len(list_intersect(a.sh,b.sh))*100 >= "
         "80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) "
+        "AND len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) > 0"
+    ),
+    # same shingle construction as minhash_lsh_pairs' oracle, bounded to
+    # doc_id < 200 both sides (the engine's broadcast-slice contract)
+    "ngram_jaccard_pairs": (
+        "WITH s AS ("
+        "SELECT doc_id, list_distinct(list_transform(range(1, len(words)-1), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh "
+        r"FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words "
+        "FROM documents WHERE doc_id < 200)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter, "
+        "CAST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) AS BIGINT) AS n_union "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.sh,b.sh))*100 >= "
+        "30*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) "
         "AND len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) > 0"
     ),
     # word hash = md5_number_lower (md5 digest bytes 8..16 little-endian,
