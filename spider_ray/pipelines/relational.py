@@ -181,10 +181,18 @@ def events_hourly(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "events", ["event_type", "ts"])
 
     def trunc(batch: pa.Table) -> pa.Table:
+        # per-batch PARTIAL count (the q1 combiner pattern): the shuffle
+        # carries O(groups × blocks) partial rows, never O(events)
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return pa.table(
-            {"event_type": batch.column("event_type"), "hour": hour.cast(pa.int64())}
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": hour.cast(pa.int64()),
+                "n": pa.array(np.ones(len(hour), dtype=np.int64)),
+            }
         )
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hour", "n"])
 
     def cast_back(batch: pa.Table) -> pa.Table:
         return batch.set_column(
@@ -196,7 +204,7 @@ def events_hourly(sf_dir: str) -> Dataset:
     return (
         ds.map_batches(trunc, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .map_batches(cast_back, batch_format="pyarrow")
     )
 
@@ -228,10 +236,17 @@ def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Data
                         "window_start": pa.array(
                             start.astype("datetime64[us]").astype(np.int64)
                         ),
+                        "n": pa.array(np.ones(len(start), dtype=np.int64)),
                     }
                 )
             )
-        return pa.concat_tables(outs)
+        # per-batch PARTIAL count — the shuffle carries partial rows only
+        g = (
+            pa.concat_tables(outs)
+            .group_by(["event_type", "window_start"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["event_type", "window_start", "n"])
 
     def cast_back(batch: pa.Table) -> pa.Table:
         return batch.set_column(
@@ -243,7 +258,7 @@ def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Data
     return (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .map_batches(cast_back, batch_format="pyarrow")
     )
 
