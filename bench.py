@@ -126,8 +126,10 @@ QUERY_BENCH = [
     "quality_scores",
     "lang_confusion",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "simhash_table",
     "embedding_topk",
+    "embedding_near_dup_lsh",
     "shingle_stats",
 ]
 

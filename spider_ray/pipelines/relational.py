@@ -56,10 +56,25 @@ def catch_by_source(sf_dir: str, source: str = "src7", limit: int = 10) -> Datas
 
 
 def source_counts(sf_dir: str) -> Dataset:
-    """A4 grouped counts (per-'host' skew stats analog)."""
+    """A4 grouped counts (per-'host' skew stats analog), with per-batch
+    PARTIAL aggregation (the q1 combiner pattern) — the shuffle carries
+    O(sources × blocks) partial rows, never O(documents)."""
     ds = _read(sf_dir, "documents", ["source", "n_chars"])
-    return ds.groupby("source").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "n_docs", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by("source").aggregate([("n_docs", "sum"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "n_docs", "total_chars"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
     )
 
 

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count
+from ray.data.aggregate import Sum
 
 TOKEN_RE = r"\S+"
 # GPT-2-style pre-tokenizer, simplified to be RE2-compatible (no lookahead):
@@ -138,10 +138,14 @@ def lang_confusion(sf_dir: str) -> Dataset:
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         scores = lang_scores_frame(batch)
         pred = [names[i] for i in scores.argmax(axis=1)]  # first max = priority
-        return pd.DataFrame({"lang": batch["lang"], "lang_pred": pred})
+        # per-batch PARTIAL count — the shuffle carries O(langs² × blocks)
+        # partial rows, never O(documents)
+        out = pd.DataFrame({"lang": batch["lang"], "lang_pred": pred})
+        g = out.groupby(["lang", "lang_pred"], sort=False).size().reset_index(name="n")
+        return g
 
     preds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(f, batch_format="pandas")
-    return preds.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+    return preds.groupby(["lang", "lang_pred"]).aggregate(Sum("n", alias_name="n"))
 
 
 def shingle_stats(sf_dir: str, n: int = 3) -> Dataset:
