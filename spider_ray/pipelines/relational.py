@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Sum
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -310,8 +310,22 @@ def top_events_per_type(sf_dir: str, k: int = 3) -> Dataset:
 
 
 def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
+    """Per-batch PARTIAL counts (q1 combiner pattern) → small groupby →
+    top-k; the shuffle carries O(users × blocks) rows, never O(events)."""
     ds = _read(sf_dir, "events", ["user_id"])
-    agg = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "n_events", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by("user_id").aggregate([("n_events", "sum")])
+        return g.rename_columns(["user_id", "n_events"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
 
 
