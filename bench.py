@@ -148,9 +148,14 @@ def _consume(obj) -> int:
 def run_queries(sf_dir: str) -> dict[str, float]:
     from spider_ray.pipelines.registry import QUERIES
 
-    # untimed warmup: spawn the worker fleet / first-execution machinery so
-    # the first timed query doesn't pay one-time session costs
-    _consume(QUERIES["count_documents"](sf_dir))
+    # ONE untimed pass first (same protocol as the crawl's warmup crawl):
+    # spawns the worker fleet and faults the parquet page cache, so timed
+    # numbers measure steady-state compute + shuffle, not one-time session
+    # and disk costs that are constant in cluster size. Rounds 1-2 timed
+    # their first pass with a fleet left warm by the in-process crawl; the
+    # explicit warm pass keeps the fresh-subprocess numbers comparable.
+    for name in QUERY_BENCH:
+        _consume(QUERIES[name](sf_dir))
     times = {}
     for name in QUERY_BENCH:
         t0 = time.perf_counter()
