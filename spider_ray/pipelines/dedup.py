@@ -122,18 +122,42 @@ def band_keys(sig: np.ndarray) -> list[bytes]:
 
 def exact_dedup(sf_dir: str) -> Dataset:
     """First-wins exact dedup by content hash (A3 — the reference's
-    UNIQUE(url) upsert key, schema.py:15, over text instead of url)."""
+    UNIQUE(url) upsert key, schema.py:15, over text instead of url).
+
+    The md5 crosses the shuffle as TWO int64 columns (digest halves,
+    big-endian bit patterns), not as a 32-char hex string: fixed-width int
+    keys halve the shuffled key bytes and sort/hash without string
+    compares. The hex column the oracle expects is rebuilt VECTORIZED
+    (one hexlify over the packed digests) after the aggregate."""
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        digs = b"".join(hashlib.md5(t.encode()).digest() for t in batch["text"])
+        halves = np.frombuffer(digs, dtype=">u8").reshape(-1, 2)
         return pd.DataFrame(
             {
-                "fp": [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]],
+                "fp_hi": halves[:, 0].astype(np.uint64).view(np.int64),
+                "fp_lo": halves[:, 1].astype(np.uint64).view(np.int64),
                 "doc_id": batch["doc_id"],
             }
         )
 
+    def to_hex(batch: pa.Table) -> pa.Table:
+        import binascii
+
+        hi = batch.column("fp_hi").to_numpy().view(np.uint64)
+        lo = batch.column("fp_lo").to_numpy().view(np.uint64)
+        packed = np.column_stack([hi, lo]).astype(">u8").tobytes()
+        fps = np.frombuffer(binascii.hexlify(packed), dtype="S32").astype("U32")
+        return pa.table(
+            {"fp": pa.array(fps, pa.string()), "doc_id": batch.column("doc_id")}
+        )
+
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pandas")
-    return ds.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    return (
+        ds.groupby(["fp_hi", "fp_lo"])
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .map_batches(to_hex, batch_format="pyarrow")
+    )
 
 
 def ngram_jaccard_pairs(
