@@ -53,6 +53,10 @@ def politeness_split(
     overrides = host_budgets or {}
     max_budget = max([budget or 0, *overrides.values()])
 
+    from spider_ray.blockutil import default_join_partitions
+
+    num_shards = default_join_partitions()
+
     def partial_topb(batch: pd.DataFrame) -> pd.DataFrame:
         d = batch[["host", "rank"]]
         if budget is None:
@@ -60,36 +64,63 @@ def politeness_split(
             # irrelevant to threshold computation
             d = d[d["host"].isin(overrides)]
         if not len(d):
-            return pd.DataFrame({"host": pd.Series([], dtype=object), "rank": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame(
+                {
+                    "_shard": pd.Series([], dtype=np.int64),
+                    "host": pd.Series([], dtype=object),
+                    "rank": pd.Series([], dtype=np.int64),
+                }
+            )
         d = d.sort_values(["host", "rank"])
         idx = d.groupby("host", sort=False).cumcount()
         # keep ≥1 row per throttled host even when every budget is 0, so the
-        # host still reaches host_threshold (which then defers it entirely)
-        return d[idx < max(max_budget, 1)]
+        # host still reaches the threshold reduce (which then defers it)
+        d = d[idx < max(max_budget, 1)]
+        # shard by host hash: one host lands wholly in one shard, so the
+        # b-th-smallest reduce is exact per shard
+        shard = (pd.util.hash_array(d["host"].to_numpy()) % num_shards).astype(np.int64)
+        return pd.DataFrame(
+            {"_shard": shard, "host": d["host"], "rank": d["rank"]}
+        )
 
     cand = pending.map_batches(partial_topb, batch_format="pandas")
 
-    def host_threshold(g: pd.DataFrame) -> pd.DataFrame:
-        h = g["host"].iloc[0]
-        b = overrides.get(h, budget)
-        if b is None or b <= 0:
-            # budget 0 = "skip this host this round": ranks are non-negative,
-            # so a -1 threshold defers every row (min(b,len)-1 would index
-            # ranks[-1] — the LARGEST rank — and silently fetch everything)
-            t = -1
+    def shard_thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        """ONE vectorized pass per shard (never per host): lexsort by
+        (host, rank), find host boundaries, index the b-th smallest rank of
+        each host. b ≤ 0 (a host_budgets override meaning 'skip this
+        round') → threshold -1: ranks are non-negative, so every row of
+        that host defers (min(b,len)-1 would index ranks[-1] — the LARGEST
+        rank — and silently fetch everything)."""
+        hosts = g["host"].to_numpy()
+        ranks = g["rank"].to_numpy()
+        order = np.lexsort((ranks, hosts))
+        hosts, ranks = hosts[order], ranks[order]
+        new = np.empty(len(hosts), dtype=bool)
+        new[0] = True
+        new[1:] = hosts[1:] != hosts[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(hosts)))
+        g_hosts = hosts[starts]
+        if overrides:
+            b = pd.Series(g_hosts).map(overrides)
+            b = (b.fillna(-1 if budget is None else budget)).to_numpy(np.int64)
         else:
-            ranks = np.sort(g["rank"].to_numpy())
-            t = int(ranks[min(b, len(ranks)) - 1])
-        return pd.DataFrame({"host": [h], "_thr": [t]})
+            b = np.full(len(g_hosts), budget, dtype=np.int64)
+        eff = np.minimum(b, sizes) - 1
+        thr = np.where(eff >= 0, ranks[starts + np.maximum(eff, 0)], -1)
+        return pd.DataFrame({"host": g_hosts, "_thr": thr.astype(np.int64)})
 
-    # per-host groups here hold ≤ max_budget × n_blocks rows — bounded even
-    # at 100 % skew (this group-per-host runs over the reduced candidates,
+    # per-host candidate sets are ≤ max_budget × n_blocks rows — bounded
+    # even at 100 % skew (this reduce runs over the reduced candidates,
     # never the frontier)
     import pyarrow as pa
 
     from spider_ray.blockutil import drop_empty_blocks
 
-    thresholds = cand.groupby("host").map_groups(host_threshold, batch_format="pandas")
+    thresholds = cand.groupby("_shard").map_groups(
+        shard_thresholds, batch_format="pandas"
+    )
     # drop columnless empty partition blocks — they break the join path
     thresholds = drop_empty_blocks(
         thresholds, pa.schema([("host", pa.string()), ("_thr", pa.int64())])
