@@ -131,6 +131,7 @@ QUERY_BENCH = [
     "embedding_topk",
     "embedding_near_dup_lsh",
     "shingle_stats",
+    "frame_sample",
 ]
 
 

@@ -119,3 +119,120 @@ def image_meta_stub(sf_dir: str) -> Dataset:
         concurrency=2,
         num_cpus=1,
     )
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload → one row per SAMPLED frame.
+
+    A real implementation holds an ffmpeg/decord handle in ``__init__`` and
+    decodes every ``every``-th frame in ``__call__``. The deterministic fake
+    derives the frame count from the payload length (``len % 24 + 1``) and
+    fingerprints each kept frame with ``md5(payload + b'#' + index)`` so a
+    DuckDB ``LATERAL generate_series`` oracle recomputes the exact output.
+    The expansion (one input row → many output rows) is done batch-side with
+    ``take`` on the original doc_id column, so upstream dtypes pass through
+    untouched and blocks grow by at most ``MAX_FRAMES/every``×."""
+
+    MAX_FRAMES = 24
+
+    def __init__(self, every: int = 3) -> None:
+        self.every = every  # a real decoder/session handle would live here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        take_idx: list[int] = []
+        frame_idx: list[int] = []
+        fps: list[str] = []
+        for r, p in enumerate(payloads):
+            n = len(p) % self.MAX_FRAMES + 1
+            for i in range(0, n, self.every):
+                take_idx.append(r)
+                frame_idx.append(i)
+                fps.append(hashlib.md5(p + b"#%d" % i).hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(take_idx, pa.int64())),
+                "frame_idx": pa.array(frame_idx, pa.int64()),
+                "frame_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def frame_sample(sf_dir: str, every: int = 3) -> Dataset:
+    """Video-style frame sampling over the stand-in payload column."""
+    return docs_as_payloads(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def resize_plan(sf_dir: str, max_dim: int = 256) -> Dataset:
+    """Integer resize plan over the decoded dims: clamp the longest side to
+    ``max_dim`` preserving aspect ratio (floor division, min 1px) — the
+    arithmetic a real resize stage would hand its kernel. Fully vectorized;
+    the oracle recomputes it with SQL CASE + ``//``."""
+    ds = image_meta_stub(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy()
+        h = batch.column("height").to_numpy()
+        big = np.maximum(w, h) > max_dim
+        landscape = w >= h
+        out_w = np.where(
+            ~big, w, np.where(landscape, max_dim, np.maximum(1, (w * max_dim) // h))
+        )
+        out_h = np.where(
+            ~big, h, np.where(landscape, np.maximum(1, (h * max_dim) // w), max_dim)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "out_w": pa.array(out_w.astype(np.int64)),
+                "out_h": pa.array(out_h.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class AudioProbe:
+    """Actor-pool stage: audio payload → deterministic feature row
+    (duration at a fake 16 kB/s rate, quantized RMS and channel count
+    derived from the md5 so DuckDB recomputes them via md5_number_lower)."""
+
+    def __init__(self) -> None:
+        self.bytes_per_ms = 16  # a real probe would open a soundfile backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        hs = np.array(
+            [int.from_bytes(hashlib.md5(p).digest()[8:16], "little") for p in payloads],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "duration_ms": pa.array(
+                    [len(p) // 16 for p in payloads], pa.int64()
+                ),
+                "rms_q": pa.array((hs % 10000).astype(np.int64)),
+                "channels": pa.array(((hs >> np.uint64(20)) % 2 + 1).astype(np.int64)),
+            }
+        )
+
+
+def audio_meta_stub(sf_dir: str) -> Dataset:
+    """Audio feature extraction over the stand-in payloads."""
+    return docs_as_payloads(sf_dir).map_batches(
+        AudioProbe,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )

@@ -105,6 +105,9 @@ QUERIES = {
     # multimodal plumbing
     "payload_bytes": multimodal.payload_bytes,
     "image_meta_stub": multimodal.image_meta_stub,
+    "frame_sample": multimodal.frame_sample,
+    "resize_plan": multimodal.resize_plan,
+    "audio_meta_stub": multimodal.audio_meta_stub,
     # flagship (rows-only)
     "crawl_bfs": crawl_bfs,
 }
@@ -298,6 +301,33 @@ ORACLE_SQL = {
     ),
     "payload_bytes": (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes "
+        "FROM documents"
+    ),
+    # frame count = payload_bytes % 24 + 1, kept frames = every 3rd index —
+    # generate_series' inclusive upper bound IS n_frames - 1
+    "frame_sample": (
+        "SELECT doc_id, frame_idx, "
+        "md5(text || '#' || CAST(frame_idx AS VARCHAR)) AS frame_fp "
+        "FROM (SELECT doc_id, text, unnest(generate_series("
+        "0, octet_length(encode(text)) % 24, 3)) AS frame_idx FROM documents)"
+    ),
+    "resize_plan": (
+        "SELECT doc_id, width, height, "
+        "CAST(CASE WHEN GREATEST(width, height) <= 256 THEN width "
+        "WHEN width >= height THEN 256 "
+        "ELSE GREATEST(1, (width * 256) // height) END AS BIGINT) AS out_w, "
+        "CAST(CASE WHEN GREATEST(width, height) <= 256 THEN height "
+        "WHEN width >= height THEN GREATEST(1, (height * 256) // width) "
+        "ELSE 256 END AS BIGINT) AS out_h "
+        "FROM (SELECT doc_id, "
+        "CAST(md5_number_lower(text) % 1024 + 1 AS BIGINT) AS width, "
+        "CAST((md5_number_lower(text) >> 10) % 1024 + 1 AS BIGINT) AS height "
+        "FROM documents)"
+    ),
+    "audio_meta_stub": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) // 16 AS BIGINT) AS duration_ms, "
+        "CAST(md5_number_lower(text) % 10000 AS BIGINT) AS rms_q, "
+        "CAST((md5_number_lower(text) >> 20) % 2 + 1 AS BIGINT) AS channels "
         "FROM documents"
     ),
     # rows-only (no SQL equivalent): crawl_bfs — the pages corpus is not a
