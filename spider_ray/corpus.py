@@ -244,7 +244,11 @@ def corpus_from_documents(sf_dir: str, out_dir: str, n_hosts: int = 16, links: i
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
-    docs = ray.data.read_parquet(
+    from spider_ray.blockutil import read_clean_parquet
+
+    # clean read: the driver testdata is pandas-written parquet whose
+    # schema blob breaks hash(Schema) in the read op's own SplitBlocks
+    docs = read_clean_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
     n_docs = docs.count()

@@ -348,13 +348,18 @@ def sessionize(
     import ray as _ray
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    gap = np.int64(gap_minutes * 60 * 1_000_000)
     if num_partitions is None:
         num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 4)))
 
     def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+        # ts crosses the shuffle as int64 epoch-µs (see events_hourly for
+        # why no datetime column is allowed through a Ray sort shuffle)
         h = pd.util.hash_array(b["user_id"].to_numpy()) % num_partitions
-        return b.assign(_shard=h.astype(np.int64))
+        return b.assign(
+            _shard=h.astype(np.int64),
+            ts=b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+        )
 
     part = ds.map_batches(add_shard, batch_format="pandas")
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 from ray.data import Dataset
 
@@ -109,13 +110,16 @@ def politeness_split(
             b = np.full(len(g_hosts), budget, dtype=np.int64)
         eff = np.minimum(b, sizes) - 1
         thr = np.where(eff >= 0, ranks[starts + np.maximum(eff, 0)], -1)
-        return pd.DataFrame({"host": g_hosts, "_thr": thr.astype(np.int64)})
+        # metadata-free Arrow out: a pandas-built block carries the
+        # b'pandas' schema blob, which breaks hash(Schema) in every
+        # downstream coalesce (see blockutil.strip_schema_metadata)
+        return pa.table(
+            {"host": pa.array(g_hosts, pa.string()), "_thr": pa.array(thr.astype(np.int64))}
+        )
 
     # per-host candidate sets are ≤ max_budget × n_blocks rows — bounded
     # even at 100 % skew (this reduce runs over the reduced candidates,
     # never the frontier)
-    import pyarrow as pa
-
     from spider_ray.blockutil import drop_empty_blocks
 
     thresholds = cand.groupby("_shard").map_groups(
@@ -137,7 +141,9 @@ def politeness_split(
             thr = get_broadcast(thr_ref)
             t = batch["host"].map(thr)
             batch = batch.assign(_fetch_now=(t.isna() | (batch["rank"] <= t)))
-            return batch
+            # metadata-free Arrow out (the b'pandas' blob breaks
+            # hash(Schema) in downstream coalesces / the frontier union)
+            return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
 
         flagged = pending.map_batches(flag, batch_format="pandas")
     else:
@@ -149,10 +155,11 @@ def politeness_split(
             on=("host",),
         )
 
-        def flag_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        def flag_joined(batch: pd.DataFrame) -> pa.Table:
             t = batch["_thr"]
             batch = batch.assign(_fetch_now=(t.isna() | (batch["rank"] <= t)))
-            return batch.drop(columns=["_thr"])
+            batch = batch.drop(columns=["_thr"])
+            return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
 
         flagged = joined.map_batches(flag_joined, batch_format="pandas")
 
