@@ -236,7 +236,7 @@ def fetch_partitioned(
             _sub=(b["rank"].to_numpy() % sub_splits).astype(np.int64)
         )
 
-    def fetch_group(g: pd.DataFrame) -> pd.DataFrame:
+    def fetch_group(g: pd.DataFrame) -> pa.Table:
         urls = sorted(g["url"].tolist())
         dset = _corpus_pads(corpus_path)
         flt = (
@@ -245,8 +245,20 @@ def fetch_partitioned(
             & pc.field("url").isin(urls)
         )
         t = dset.to_table(filter=flt, columns=["url", "html"])
-        m = t.to_pandas().merge(g[["url", "depth", "rank"]], on="url", how="inner")
-        return m[["url", "depth", "rank", "html"]]
+        # Arrow-native inner merge on url (corpus urls are unique): a pandas
+        # round-trip would downgrade html large_binary → binary and attach
+        # the b'pandas' schema blob that breaks downstream schema hashing
+        g_tbl = pa.table(
+            {
+                "url": pa.array(g["url"], pa.string()),
+                "depth": pa.array(g["depth"]),
+                "rank": pa.array(g["rank"], pa.int64()),
+            }
+        )
+        pos = pc.index_in(g_tbl.column("url"), value_set=t.column("url").combine_chunks())
+        hit = pos.is_valid()
+        html = t.column("html").take(pos.filter(hit))
+        return g_tbl.filter(hit).append_column("html", html)
 
     return (
         frontier.map_batches(add_sub, batch_format="pandas")
