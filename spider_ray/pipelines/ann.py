@@ -27,6 +27,7 @@ from ray.data import Dataset
 
 _N_PLANES = 8  # 256 LSH buckets
 _PLANES_SEED = 7
+_GRAM_CHUNK = 2048  # row-chunk bound for per-bucket gram verification
 
 
 def _emb(sf_dir: str) -> Dataset:
@@ -252,6 +253,7 @@ def embedding_near_dup_lsh(
     n_planes: int = 3,
     n_tables: int = 24,
     num_partitions: int | None = None,
+    verify_broadcast_limit: int = 128 << 20,
 ) -> Dataset:
     """Scale path for embedding-cosine near-dup: signed-random-projection
     LSH with ``n_tables`` independent plane sets.
@@ -259,14 +261,26 @@ def embedding_near_dup_lsh(
     Shuffle discipline (the sketch-attach pattern from
     dedup.minhash_lsh_pairs): bucket rows carry METADATA ONLY —
     ``(table_id, bucket, vec_id)``, ~24 B — through one task-based sort
-    shuffle that expands each bucket into ordered pairs; candidate pairs
-    are deduplicated FIRST (a pair colliding in many tables costs one
-    verify), and only then are the two vectors attached, once per pair
-    side, from a separate ``(vec_id, v)`` table via
-    ``blockutil.attach_payload``. Embedding bytes therefore cross the
-    all-to-all exactly twice per VERIFIED-CANDIDATE pair — never ×n_tables
-    per bucket row and never two-vectors-per-candidate-row — and no stage
-    uses ``Dataset.join`` (no aggregator-actor fleet per execution).
+    shuffle that expands each bucket into ordered pairs, deduplicated
+    per shard (a pair colliding in many tables costs one verify).
+
+    Exact-cosine verification has TWO paths, gated on the byte size of the
+    vectors table (the politeness/fetch dual-path pattern):
+
+    - ``≤ verify_broadcast_limit`` (default 128 MB ≈ 250k vectors at
+      dim 64): the normalized matrix ships ONCE via ``ray.put`` and each
+      pair shard verifies locally — candidate pairs cross one extra sort
+      shuffle as two int64s (16 B), embedding bytes never cross at all.
+      At threshold 40 the recall-1.0 plane/table setting makes buckets
+      dense (collision prob ≈ 0.96 even for orthogonal vectors), so
+      per-pair vector attach would ship ~1 KB × |candidates| — measured
+      13.8 s vs ~2 s at sf0.1.
+    - beyond the limit: vectors are attached once per unique pair side
+      from a ``(vec_id, v)`` table via ``blockutil.attach_payload`` —
+      embedding bytes cross the all-to-all exactly twice per deduped
+      candidate pair, never ×n_tables per bucket row. No stage uses
+      ``Dataset.join`` (no aggregator-actor fleet per execution). Both
+      paths are pytest-asserted equal (tests/test_dedup.py).
 
     Every candidate is verified exactly (float64 cosine vs the integer
     percent threshold), so precision is exact; recall ≈ 1-(1-p^planes)^tables
@@ -280,10 +294,24 @@ def embedding_near_dup_lsh(
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
+    thr = threshold_pct
     rng = np.random.RandomState(_PLANES_SEED + 1)
     dim = len(query_vector(sf_dir, 0))
     planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
+
+    # broadcast gate: parquet metadata only — the table itself is read
+    # driver-side only when it fits under the limit
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    n_vecs = pq.ParquetFile(emb_path).metadata.num_rows
+    vec_ref = None
+    if n_vecs * dim * 8 <= verify_broadcast_limit:
+        tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        vec_ref = ray.put((ids[order], m[order]))
 
     ds = _emb(sf_dir)
 
@@ -341,7 +369,11 @@ def embedding_near_dup_lsh(
     # one task-based sort shuffle on the int shard key, then a vectorized
     # per-SHARD pass — lexsort + bucket boundaries + triu expansion, one
     # Python call per shard, never per bucket or per pair.
-    buckets = ds.map_batches(to_buckets, batch_format="pandas", batch_size=4096)
+    # batch_size=None: one batch per INPUT block — a fixed batch_size
+    # coalesces the read's split blocks into one batch, which collapses the
+    # downstream sort to a single reduce partition and serializes the
+    # per-shard pair expansion into one task (measured 6 s → 0.9 s here)
+    buckets = ds.map_batches(to_buckets, batch_format="pandas", batch_size=None)
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         t = g["table_id"].to_numpy()
@@ -354,14 +386,46 @@ def embedding_near_dup_lsh(
         new[1:] = (t[1:] != t[:-1]) | (bkt[1:] != bkt[:-1])
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, len(t)))
-        out_a, out_b = [], []
-        for s0, sz in zip(starts, sizes):
-            if sz < 2:
-                continue
-            seg = d[s0 : s0 + sz]
-            ia, ib = np.triu_indices(sz, k=1)
-            out_a.append(seg[ia])
-            out_b.append(seg[ib])
+        if vec_ref is not None:
+            # broadcast mode: verify PER BUCKET against the plasma-shared
+            # matrix, before any pair row materializes — at the recall-1.0
+            # plane setting candidates are ~all pairs, so either shipping
+            # them or per-pair vector gathers dominates wall time (a
+            # 2×|pairs|×dim gather also thrashes the allocator under task
+            # concurrency — the round-1 combine_chunks lesson). Per bucket
+            # the members' gram matrix ``sub @ sub.T`` is tiny (bucket
+            # size²), costs one small np.take (NOT mat[idx] — fancy row
+            # indexing is ~30× slower than take(axis=0) on this numpy
+            # build), and yields every pairwise cosine at BLAS speed;
+            # only surviving pairs are ever materialized. Buckets larger
+            # than _GRAM_CHUNK verify in row chunks to bound the gram
+            # block at chunk×size.
+            from spider_ray.stages.broadcast import get_broadcast
+
+            ids_s, mat = get_broadcast(vec_ref)
+            out_a, out_b = [], []
+            for s0, sz in zip(starts, sizes):
+                if sz < 2:
+                    continue
+                seg = d[s0 : s0 + sz]
+                sub = np.take(mat, np.searchsorted(ids_s, seg), axis=0)
+                col = np.arange(sz)
+                for c0 in range(0, sz, _GRAM_CHUNK):
+                    blk = sub[c0 : c0 + _GRAM_CHUNK] @ sub.T
+                    hit = (blk * 100 >= thr) & (col[None, :] > (c0 + np.arange(blk.shape[0]))[:, None])
+                    bi, bj = np.nonzero(hit)
+                    if len(bi):
+                        out_a.append(seg[c0 + bi])
+                        out_b.append(seg[bj])
+        else:
+            out_a, out_b = [], []
+            for s0, sz in zip(starts, sizes):
+                if sz < 2:
+                    continue
+                seg = d[s0 : s0 + sz]
+                ia, ib = np.triu_indices(sz, k=1)
+                out_a.append(seg[ia])
+                out_b.append(seg[ib])
         if not out_a:
             return pd.DataFrame(
                 {
@@ -373,11 +437,53 @@ def embedding_near_dup_lsh(
         bb = np.concatenate(out_b)
         lo = np.minimum(a, bb)
         hi = np.maximum(a, bb)
-        # per-shard dedup only; a pair colliding in several tables is
-        # globally deduped in the attach-A shard (all copies share vec_a)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi}).drop_duplicates()
+        # per-shard dedup via packed-key np.unique (~5× faster than a
+        # 2-column drop_duplicates; vec_ids fit 32 bits per FIXTURES.md);
+        # cross-shard copies of a pair are merged by the survivor-dedup
+        # shuffle (broadcast mode) or the attach-A shard (attach mode)
+        if len(hi) and hi.max() < 1 << 32:
+            uk = np.unique((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64))
+            av = (uk >> np.uint64(32)).astype(np.int64)
+            bv = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            dd = pd.DataFrame({"vec_a": lo, "vec_b": hi}).drop_duplicates()
+            av = dd["vec_a"].to_numpy(np.int64)
+            bv = dd["vec_b"].to_numpy(np.int64)
+        return pd.DataFrame({"vec_a": av, "vec_b": bv})
 
     pairs = buckets.groupby("_shard").map_groups(shard_pairs, batch_format="pandas")
+
+    if vec_ref is not None:
+        # pairs are already VERIFIED (inside shard_pairs, against the
+        # broadcast matrix); this shuffle only merges cross-shard copies
+        # of each surviving pair — survivor rows are the final answer
+        # size. Survivors are materialize-cheap, so empty partition
+        # blocks (schema-less, from sparse shards) are dropped before
+        # the dedup shuffle.
+        from spider_ray.blockutil import drop_empty_blocks
+
+        pairs = drop_empty_blocks(
+            pairs, pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+        )
+
+        def dedup_merge(b: pd.DataFrame) -> pa.Table:
+            a = b["vec_a"].to_numpy(np.uint64)
+            bb = b["vec_b"].to_numpy(np.uint64)
+            uk = np.unique((a << np.uint64(32)) | bb)
+            return pa.table(
+                {
+                    "vec_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
+                    "vec_b": pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                }
+            )
+
+        # single merge task, not a keyed shuffle: survivors ARE the final
+        # answer (what the caller collects anyway), so one coalesce +
+        # packed-key unique replaces a sort whose mostly-empty reduce
+        # partitions add overhead and schema-less empty blocks
+        return pairs.repartition(1).map_batches(
+            dedup_merge, batch_format="pandas", batch_size=None
+        )
 
     # vector attach: each side's normalized vector crosses the shuffle once
     # per unique candidate pair side — never ×n_tables per bucket row
@@ -404,8 +510,6 @@ def embedding_near_dup_lsh(
         pair_cols={"vec_a": np.int64(0), "vec_b": np.int64(0), "v_a": b""},
         num_shards=num_partitions,
     )
-
-    thr = threshold_pct
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -185,3 +185,20 @@ def test_embedding_near_dup_lsh_recall_and_precision():
     if exact_pairs:
         recall = len(got_pairs & exact_pairs) / len(exact_pairs)
         assert recall >= 0.5, recall
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup_lsh_verify_paths_equal():
+    """The broadcast-gram verify path (small vectors table, default) and the
+    attach_payload verify path (beyond verify_broadcast_limit — the 100 TB
+    route) must produce identical pair sets."""
+    from spider_ray.pipelines.ann import embedding_near_dup_lsh
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(df):
+        return sorted(map(tuple, df[["vec_a", "vec_b"]].itertuples(index=False)))
+
+    bc = canon(embedding_near_dup_lsh(sf).to_pandas())
+    at = canon(embedding_near_dup_lsh(sf, verify_broadcast_limit=0).to_pandas())
+    assert bc == at and len(bc) >= 1
