@@ -160,13 +160,17 @@ class FrameSampler:
 
 def frame_sample(sf_dir: str, every: int = 3) -> Dataset:
     """Video-style frame sampling over the stand-in payload column."""
+    # ctor kwargs only when non-default: Ray puts fn_constructor_kwargs in
+    # the object store and logs an actor-restart caveat (ray#53727) for
+    # every restartable pool that carries them
+    kwargs = {"fn_constructor_kwargs": {"every": every}} if every != 3 else {}
     return docs_as_payloads(sf_dir).map_batches(
         FrameSampler,
-        fn_constructor_kwargs={"every": every},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=2,
         num_cpus=1,
+        **kwargs,
     )
 
 
