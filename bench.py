@@ -128,6 +128,7 @@ QUERY_BENCH = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_table",
+    "simhash_near_dup_pairs",
     "embedding_topk",
     "embedding_near_dup_lsh",
     "shingle_stats",

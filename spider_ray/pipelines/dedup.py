@@ -462,6 +462,133 @@ def simhash_table(sf_dir: str) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def simhash_near_dup_pairs(
+    sf_dir: str, max_hamming: int = 3, num_partitions: int | None = None
+) -> Dataset:
+    """SimHash near-dup pairs: ``(doc_a, doc_b)`` with hamming distance ≤
+    ``max_hamming`` between the docs' 64-bit SimHashes.
+
+    Candidate generation is PIGEONHOLE banding — the 64-bit fingerprint
+    splits into ``max_hamming + 1`` bands, and two hashes within
+    ``max_hamming`` bit flips MUST agree exactly on at least one band — so
+    unlike probabilistic LSH there is no recall knob: recall is exactly 1
+    by construction, and every candidate is verified with a vectorized
+    popcount, so precision is exact too. That makes the DuckDB
+    ``bit_count(xor(...))`` all-pairs SQL its driver oracle at any scale.
+
+    Shuffle discipline (the minhash/embedding-LSH shard pattern): band
+    rows are ``(_shard, band, key, doc_id, sh)`` — 40 B of ints; one
+    task-based sort shuffle co-locates each band bucket, pairs expand +
+    verify per shard (only survivors materialize), and a final single-task
+    merge dedups the cross-band copies of each surviving pair (survivors
+    ARE the answer the caller collects). Hot-bucket note: a band bucket of
+    B identical band-keys expands B²/2 candidates — boilerplate-heavy
+    corpora should run exact dedup first (A3), which collapses byte-dup
+    docs before banding."""
+    bands = max_hamming + 1
+    band_bits = 64 // bands
+    mask = np.uint64((1 << band_bits) - 1)
+    if num_partitions is None:
+        from spider_ray.blockutil import default_join_partitions
+
+        num_partitions = default_join_partitions()
+
+    def to_bands(batch: pd.DataFrame) -> pa.Table:
+        sh = np.fromiter(
+            (simhash64(t) for t in batch["text"]), np.uint64, len(batch)
+        )
+        ids = batch["doc_id"].to_numpy(np.int64)
+        out_s, out_b, out_k, out_d, out_h = [], [], [], [], []
+        for b in range(bands):
+            key = (sh >> np.uint64(b * band_bits)) & mask
+            shard = (
+                np.uint64(0x9E3779B97F4A7C15)
+                * (key ^ (np.uint64(b) << np.uint64(48)))
+                >> np.uint64(40)
+            ) % np.uint64(num_partitions)
+            out_s.append(shard.astype(np.int64))
+            out_b.append(np.full(len(ids), b, dtype=np.int64))
+            out_k.append(key.astype(np.int64))
+            out_d.append(ids)
+            out_h.append(sh.astype(np.int64))  # two's-complement view
+        return pa.table(
+            {
+                "_shard": pa.array(np.concatenate(out_s)),
+                "band": pa.array(np.concatenate(out_b)),
+                "key": pa.array(np.concatenate(out_k)),
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "sh": pa.array(np.concatenate(out_h)),
+            }
+        )
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["band"].to_numpy(np.int64)
+        k = g["key"].to_numpy(np.int64)
+        d = g["doc_id"].to_numpy(np.int64)
+        h = g["sh"].to_numpy(np.int64)
+        order = np.lexsort((d, k, b))
+        b, k, d, h = b[order], k[order], d[order], h[order]
+        new = np.empty(len(b), dtype=bool)
+        new[0] = True
+        new[1:] = (b[1:] != b[:-1]) | (k[1:] != k[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(b)))
+        out_a, out_b2 = [], []
+        for s0, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            ia, ib = np.triu_indices(sz, k=1)
+            xa = h[s0 : s0 + sz].astype(np.uint64)
+            # vectorized popcount: xor → bytes → unpackbits → row sum
+            x = (xa[ia] ^ xa[ib]).view(np.uint8).reshape(-1, 8)
+            ham = np.unpackbits(x, axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            seg = d[s0 : s0 + sz]
+            out_a.append(seg[ia[keep]])
+            out_b2.append(seg[ib[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np.int64),
+                    "doc_b": np.array([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b2)
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        uk = np.unique((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "doc_a": (uk >> np.uint64(32)).astype(np.int64),
+                "doc_b": (uk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            }
+        )
+
+    def dedup_merge(bt: pd.DataFrame) -> pa.Table:
+        a = bt["doc_a"].to_numpy(np.uint64)
+        bb = bt["doc_b"].to_numpy(np.uint64)
+        uk = np.unique((a << np.uint64(32)) | bb)
+        return pa.table(
+            {
+                "doc_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_bands, batch_format="pandas", batch_size=None)
+        .groupby("_shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+    )
+    pairs = _drop_empty_blocks(
+        pairs, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    )
+    return pairs.repartition(1).map_batches(
+        dedup_merge, batch_format="pandas", batch_size=None
+    )
+
+
 def embedding_near_dup_pairs(
     sf_dir: str, threshold_pct: int = 40, max_id: int = 200
 ) -> Dataset:

@@ -89,6 +89,9 @@ QUERIES = {
     # unbounded scale path is minhash_lsh_pairs)
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
     "simhash_table": dedup.simhash_table,
+    # pigeonhole banding (bands = max_hamming+1) makes recall exactly 1 by
+    # construction — the all-pairs hamming SQL is its oracle at any scale
+    "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
     "embedding_near_dup": dedup.embedding_near_dup_pairs,
     # scale path: LSH-bucketed candidate pairs (metadata-only join) + exact
     # verify; the default (n_planes=3, n_tables=24) gives recall 1.0 on the
@@ -277,6 +280,25 @@ ORACLE_SQL = {
         "16,'0') AS simhash FROM acc GROUP BY doc_id) "
         "SELECT d.doc_id, coalesce(sim.simhash, '0000000000000000') AS simhash "
         "FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id"
+    ),
+    # same word-hash SimHash as simhash_table, kept numeric for the
+    # pairwise bit_count(xor) hamming filter
+    "simhash_near_dup_pairs": (
+        r"WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) "
+        "AS word FROM documents), "
+        "h AS (SELECT doc_id, md5_number_lower(word) AS hv FROM w), "
+        "bpos AS (SELECT unnest(range(64)) AS bit), "
+        "acc AS (SELECT doc_id, bit, "
+        "sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM h, bpos GROUP BY doc_id, bit), "
+        "sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN "
+        "(CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) "
+        "AS h FROM acc GROUP BY doc_id), "
+        "simall AS (SELECT d.doc_id, coalesce(sim.h, CAST(0 AS UBIGINT)) AS h "
+        "FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM simall a "
+        "JOIN simall b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.h, b.h)) <= 3"
     ),
     # FakeDecoder dims are md5-derived (see multimodal.FakeDecoder); the
     # payload is encode(text), so md5(text) == md5(payload)

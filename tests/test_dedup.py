@@ -202,3 +202,42 @@ def test_embedding_near_dup_lsh_verify_paths_equal():
     bc = canon(embedding_near_dup_lsh(sf).to_pandas())
     at = canon(embedding_near_dup_lsh(sf, verify_broadcast_limit=0).to_pandas())
     assert bc == at and len(bc) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_near_dup_pairs_vs_oracle_and_exact_dups():
+    """Pigeonhole banding: recall is exactly 1 by construction, so the
+    all-pairs hamming SQL must match bit-for-bit; byte-identical docs
+    (hamming 0) must always appear."""
+    import duckdb
+
+    from spider_ray.pipelines.dedup import simhash_near_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = simhash_near_dup_pairs(sf).to_pandas()
+    got_pairs = set(map(tuple, got[["doc_a", "doc_b"]].itertuples(index=False)))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    from spider_ray.pipelines.registry import ORACLE_SQL
+
+    exact = set(map(tuple, con.execute(ORACLE_SQL["simhash_near_dup_pairs"]).fetchall()))
+    assert got_pairs == exact and len(exact) > 0
+
+    # identical text → identical simhash → hamming 0 → must be present
+    byte_dups = set(
+        map(
+            tuple,
+            con.execute(
+                "SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b "
+                "ON a.doc_id < b.doc_id AND a.text = b.text"
+            ).fetchall(),
+        )
+    )
+    assert byte_dups <= got_pairs
+
+    # partition-count invariance (the shard fan-out is a parallelism knob)
+    p2 = simhash_near_dup_pairs(sf, num_partitions=3).to_pandas()
+    assert set(map(tuple, p2[["doc_a", "doc_b"]].itertuples(index=False))) == exact
