@@ -90,3 +90,20 @@ def test_zero_budget_defers_everything():
     now2, def2 = politeness_split(ds, 0)
     assert now2.count() == 0
     assert def2.count() == 120
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagged_blocks_carry_hashable_metadata_free_schemas():
+    """Regression: the flag stages once returned raw pandas batches, so
+    Ray attached the b'pandas' schema blob on Arrow conversion —
+    hash(pa.Schema) raises on the embedded dict and every downstream
+    coalesce (frontier union, fetch fusion, store sort) fell back to the
+    slow unify path with a 'Failed to hash the schemas' warning."""
+    from spider_ray.stages.politeness import politeness_split
+
+    ds, _ = _frontier(200, ["a.example", "b.example", "c.example"], 4)
+    fetch_now, deferred = politeness_split(ds, 5)
+    for part in (fetch_now, deferred):
+        for batch in part.iter_batches(batch_format="pyarrow", batch_size=None):
+            assert batch.schema.metadata in (None, {})
+            hash(batch.schema)  # raises on any metadata blob
