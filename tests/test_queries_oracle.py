@@ -75,3 +75,19 @@ def test_rows_only_queries_run():
     for name in rows_only:
         out = _normalize(QUERIES[name](SF_DIR))
         assert len(out) >= 0 and len(out.columns) >= 1, name
+
+
+def test_bench_suite_names_are_registry_queries():
+    """Every bench.py QUERY_BENCH entry must be a registered query (a
+    rename in one place must fail loudly, not skip silently in bench)."""
+    import importlib.util
+
+    from spider_ray.pipelines.registry import QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    unknown = [n for n in bench.QUERY_BENCH if n not in QUERIES]
+    assert unknown == []
