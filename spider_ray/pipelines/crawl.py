@@ -823,7 +823,12 @@ def read_store(
 
         empty = STORE_SCHEMA.empty_table()
         return ray.data.from_arrow(empty.select(columns) if columns else empty)
-    ds = ray.data.read_parquet(files, columns=columns)
+    # clean read: store parts are engine-written (metadata-free), but the
+    # finalize_store retry net can rewrite parts through pandas blocks —
+    # stripping at the read keeps hash(Schema) working downstream either way
+    from spider_ray.blockutil import read_clean_parquet
+
+    ds = read_clean_parquet(files, columns=columns)
     if canonical_order:
         ds = ds.sort(["depth", "discovery_rank"])
     return ds

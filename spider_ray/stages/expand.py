@@ -225,11 +225,14 @@ def finalize_store(store_root: str, out_path: str) -> None:
     UNIQUE(url) upsert (schema.py:15, postgres_database.py:122-131)."""
     import ray
 
+    def pick(g):
+        # STORE_SCHEMA-pinned Arrow out: a raw pandas return would write
+        # parts with the b'pandas' schema blob and string instead of
+        # large_string — a schema drift between original and rewritten parts
+        g = g.sort_values("discovery_rank").head(1)
+        return pa.Table.from_pandas(
+            g, schema=STORE_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+
     ds = ray.data.read_parquet(store_root)
-    (
-        ds.groupby("url")
-        .map_groups(
-            lambda g: g.sort_values("discovery_rank").head(1), batch_format="pandas"
-        )
-        .write_parquet(out_path)
-    )
+    ds.groupby("url").map_groups(pick, batch_format="pandas").write_parquet(out_path)
