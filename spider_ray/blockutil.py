@@ -57,6 +57,70 @@ def drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema | None = None) -> Dat
     return ray.data.from_arrow_refs(refs)
 
 
+def unique_pairs(lo, hi):
+    """Dedup sorted ``(lo, hi)`` int64 pair arrays, returned sorted.
+
+    Packed-uint64 ``np.unique`` when both ids fit 32 bits (~5× faster than
+    a 2-column drop_duplicates — BASELINE.md); otherwise a lexsort-based
+    unique, because at the 10^10-row tier ids exceed 32 bits and a packed
+    key would silently collide distinct pairs instead of failing loudly."""
+    import numpy as np
+
+    if len(hi) == 0:
+        return lo, hi
+    if hi.max() < 1 << 32 and lo.min() >= 0:
+        uk = np.unique((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64))
+        return (uk >> np.uint64(32)).astype(np.int64), (
+            uk & np.uint64(0xFFFFFFFF)
+        ).astype(np.int64)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    keep = np.empty(len(lo), dtype=bool)
+    keep[0] = True
+    keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    return lo[keep], hi[keep]
+
+
+def final_merge(
+    ds: Dataset,
+    fn,
+    empty_schema: pa.Schema,
+    *,
+    batch_format: str = "pandas",
+    threshold_rows: int = 2_000_000,
+) -> Dataset:
+    """Answer-sized final merge with a two-level guard.
+
+    The pair/top-k pipelines end by coalescing their (answer-sized) partial
+    rows into ONE task and running an idempotent merge ``fn`` — right at any
+    plausible scale, but a 10^6-block run could still funnel too many rows
+    through the single task. This helper inspects the partials' row count
+    from block METADATA (one materialize — the inputs to every caller are
+    already survivor/partial-sized) and, above ``threshold_rows``, inserts
+    one intermediate ``repartition(cpus)`` merge level before the final
+    single task. Empty blocks (schema-less, from sparse shards — see
+    drop_empty_blocks) are dropped in the same pass. ``fn`` must be
+    idempotent (dedup / local-top-k both are)."""
+    mds = ds.materialize()
+    refs, total = [], 0
+    for bundle in mds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+                total += meta.num_rows
+    if not refs:
+        base = ray.data.from_arrow(empty_schema.empty_table())
+    else:
+        base = ray.data.from_arrow_refs(refs)
+    if total > threshold_rows:
+        base = base.repartition(default_join_partitions()).map_batches(
+            fn, batch_format=batch_format, batch_size=None
+        )
+    return base.repartition(1).map_batches(
+        fn, batch_format=batch_format, batch_size=None
+    )
+
+
 def default_join_partitions(floor: int = 4, cap: int = 256) -> int:
     """Join/aggregate fan-out scaled to the cluster: ~one hash partition per
     CPU, floored and capped. A hard-coded ``num_partitions=4`` is right at
@@ -150,17 +214,35 @@ def read_clean_parquet(path, columns: list[str] | None = None, **kwargs) -> Data
     and falls back to the slow unify path — a downstream
     ``strip_schema_metadata`` map can't reach those. Stripping at the read
     means blocks never carry the blob at all. When ``columns`` is given the
-    schema must describe exactly the selected columns (ray 2.49 contract)."""
+    schema must describe exactly the selected columns (ray 2.49 contract).
+
+    The pinned schema comes from a SAMPLE of files (first + last + middle of
+    the sorted listing, cheap footer reads): if any sampled schema disagrees
+    (drifted part files — e.g. string vs large_string from a different
+    writer), the pin is dropped and the read falls back to ray's own unify
+    path plus a per-block metadata strip, instead of mis-casting or raising
+    on whichever file sort order put first."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    probe = path
+    probes = [path]
     if isinstance(path, (list, tuple)):
-        probe = path[0]
-    if os.path.isdir(probe):
-        probe = sorted(glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True))[0]
-    full = pq.read_schema(probe).remove_metadata()
+        probes = list(path)
+    if os.path.isdir(probes[0]):
+        probes = sorted(
+            glob.glob(os.path.join(probes[0], "**", "*.parquet"), recursive=True)
+        )
+        if not probes:
+            raise FileNotFoundError(f"no parquet files under directory {path!r}")
+    sample = {probes[0], probes[-1], probes[len(probes) // 2]}
+    schemas = [pq.read_schema(p).remove_metadata() for p in sorted(sample)]
+    if any(not s.equals(schemas[0]) for s in schemas[1:]):
+        # drifted parts: no safe single pin — let the read unify, then strip
+        return strip_schema_metadata(
+            ray.data.read_parquet(path, columns=columns, **kwargs)
+        )
+    full = schemas[0]
     schema = pa.schema([full.field(c) for c in columns]) if columns else full
     return ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)

@@ -438,54 +438,41 @@ def embedding_near_dup_lsh(
             )
         a = np.concatenate(out_a)
         bb = np.concatenate(out_b)
-        lo = np.minimum(a, bb)
-        hi = np.maximum(a, bb)
-        # per-shard dedup via packed-key np.unique (~5× faster than a
-        # 2-column drop_duplicates; vec_ids fit 32 bits per FIXTURES.md);
-        # cross-shard copies of a pair are merged by the survivor-dedup
-        # shuffle (broadcast mode) or the attach-A shard (attach mode)
-        if len(hi) and hi.max() < 1 << 32:
-            uk = np.unique((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64))
-            av = (uk >> np.uint64(32)).astype(np.int64)
-            bv = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        else:
-            dd = pd.DataFrame({"vec_a": lo, "vec_b": hi}).drop_duplicates()
-            av = dd["vec_a"].to_numpy(np.int64)
-            bv = dd["vec_b"].to_numpy(np.int64)
+        # per-shard dedup via blockutil.unique_pairs: packed-key np.unique
+        # (~5× faster than a 2-column drop_duplicates) behind an id-width
+        # guard — lexsort-unique fallback past 2^32. Cross-shard copies of a
+        # pair are merged by the survivor-dedup merge (broadcast mode) or
+        # the attach-A shard (attach mode).
+        from spider_ray.blockutil import unique_pairs
+
+        av, bv = unique_pairs(np.minimum(a, bb), np.maximum(a, bb))
         return pd.DataFrame({"vec_a": av, "vec_b": bv})
 
     pairs = buckets.groupby("_shard").map_groups(shard_pairs, batch_format="pandas")
 
     if vec_ref is not None:
         # pairs are already VERIFIED (inside shard_pairs, against the
-        # broadcast matrix); this shuffle only merges cross-shard copies
-        # of each surviving pair — survivor rows are the final answer
-        # size. Survivors are materialize-cheap, so empty partition
-        # blocks (schema-less, from sparse shards) are dropped before
-        # the dedup shuffle.
-        from spider_ray.blockutil import drop_empty_blocks
-
-        pairs = drop_empty_blocks(
-            pairs, pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
-        )
+        # broadcast matrix); the merge only dedups cross-shard copies of
+        # each surviving pair — survivor rows are the final answer size.
+        from spider_ray.blockutil import final_merge, unique_pairs
 
         def dedup_merge(b: pd.DataFrame) -> pa.Table:
-            a = b["vec_a"].to_numpy(np.uint64)
-            bb = b["vec_b"].to_numpy(np.uint64)
-            uk = np.unique((a << np.uint64(32)) | bb)
-            return pa.table(
-                {
-                    "vec_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
-                    "vec_b": pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-                }
+            # unique_pairs mirrors shard_pairs' id-width guard: without it,
+            # a >2^32 vec_id surviving shard_pairs' own fallback would be
+            # re-corrupted here by an unconditional packed key
+            av, bv = unique_pairs(
+                b["vec_a"].to_numpy(np.int64), b["vec_b"].to_numpy(np.int64)
             )
+            return pa.table({"vec_a": pa.array(av), "vec_b": pa.array(bv)})
 
         # single merge task, not a keyed shuffle: survivors ARE the final
-        # answer (what the caller collects anyway), so one coalesce +
-        # packed-key unique replaces a sort whose mostly-empty reduce
-        # partitions add overhead and schema-less empty blocks
-        return pairs.repartition(1).map_batches(
-            dedup_merge, batch_format="pandas", batch_size=None
+        # answer (what the caller collects anyway). final_merge drops the
+        # schema-less empty shard blocks and auto-inserts an intermediate
+        # repartition(cpus) merge level above its partial-row threshold.
+        return final_merge(
+            pairs,
+            dedup_merge,
+            pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
         )
 
     # vector attach: each side's normalized vector crosses the shuffle once

@@ -111,6 +111,53 @@ def minhash_from_hashes(h: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
+_PERM_BLOCK = 8  # perms hashed per pass in minhash_batch — bounds the
+# (perm_block × total_shingles) temporary at ~13 MB for a 1024-doc batch
+
+
+def minhash_batch(chunk: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Minhash signatures for a WHOLE large_binary sketch chunk at once.
+
+    Returns ``(sigs, lens)``: ``sigs[i]`` is doc i's 64-perm signature,
+    ``lens[i]`` its shingle count. Decodes the chunk via its offsets/data
+    buffers (one ``np.frombuffer`` over the concatenated uint64 sketch
+    bytes — the per-doc ``as_py()`` loop this replaces paid one interpreter
+    call per document), then computes each perm's universal hash over the
+    full value array and segments the min per doc with
+    ``np.minimum.reduceat``. Perms go in blocks of ``_PERM_BLOCK`` to bound
+    the temporary. Zero-length docs get an all-zero signature row (callers
+    mask them out via ``lens == 0`` — same contract as the loop had)."""
+    n = len(chunk)
+    sigs = np.zeros((n, _MINHASH_PERMS), dtype=np.uint64)
+    if n == 0:
+        return sigs, np.zeros(0, dtype=np.int64)
+    off_buf, data_buf = chunk.buffers()[1], chunk.buffers()[2]
+    offsets = np.frombuffer(off_buf, dtype=np.int64)[
+        chunk.offset : chunk.offset + n + 1
+    ]
+    lens = np.diff(offsets) // 8
+    if data_buf is None or lens.sum() == 0:
+        return sigs, lens
+    vals = np.frombuffer(data_buf, dtype=np.uint64)[
+        offsets[0] // 8 : offsets[-1] // 8
+    ]
+    starts = (offsets[:-1] - offsets[0]) // 8
+    nonempty = np.flatnonzero(lens > 0)
+    ne_starts = starts[nonempty]
+    with np.errstate(over="ignore"):
+        for p0 in range(0, _MINHASH_PERMS, _PERM_BLOCK):
+            a = _A[p0 : p0 + _PERM_BLOCK, None]
+            b = _B[p0 : p0 + _PERM_BLOCK, None]
+            v = (vals[None, :] * a + b) % np.uint64(_PRIME)
+            # reduceat over nonempty doc starts: a zero-length segment would
+            # alias the next doc's first value, so empty docs are excluded
+            # and keep their zero rows
+            sigs[nonempty, p0 : p0 + _PERM_BLOCK] = np.minimum.reduceat(
+                v, ne_starts, axis=1
+            ).T
+    return sigs, lens
+
+
 def minhash_signature(text: str, n: int = 3) -> np.ndarray:
     """64 minhash values (uint64) for the doc's shingle set."""
     return minhash_from_hashes(_shingle_hashes(text, n))
@@ -279,19 +326,20 @@ def minhash_lsh_pairs(
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         sh_col = batch.column("sh")
+        # one buffer-level pass per chunk (minhash_batch) — no per-doc
+        # as_py()/frombuffer round-trips
+        parts = [minhash_batch(c) for c in sh_col.chunks]
+        if parts:
+            sigs = np.concatenate([p[0] for p in parts])
+            lens = np.concatenate([p[1] for p in parts])
+        else:
+            sigs = np.zeros((0, _MINHASH_PERMS), dtype=np.uint64)
+            lens = np.zeros(0, dtype=np.int64)
         ids_out = np.repeat(ids, _BANDS)
         band_id = np.tile(np.arange(_BANDS, dtype=np.int64), len(ids))
-        sigs = np.empty((len(ids), _MINHASH_PERMS), dtype=np.uint64)
-        keep = np.ones(len(ids) * _BANDS, dtype=bool)
-        for i in range(len(ids)):
-            h = np.frombuffer(sh_col[i].as_py(), dtype=np.uint64)
-            if h.size == 0:
-                keep[i * _BANDS : (i + 1) * _BANDS] = False  # no shingles →
-                # no bands (an all-max signature would bucket every empty
-                # doc together into one quadratic bucket)
-                sigs[i] = 0
-            else:
-                sigs[i] = minhash_from_hashes(h)
+        # no shingles → no bands (an all-max signature would bucket every
+        # empty doc together into one quadratic bucket)
+        keep = np.repeat(lens > 0, _BANDS)
         # 2-row bands → the band key IS the two minhash values (< 2^61, so
         # int64-safe); shuffle on plain int columns, no re-hashing
         k1 = sigs[:, 0::2].astype(np.int64).reshape(-1)
@@ -358,11 +406,13 @@ def minhash_lsh_pairs(
             )
         a = np.concatenate(out_a)
         bb = np.concatenate(out_b)
-        lo = np.minimum(a, bb)
-        hi = np.maximum(a, bb)
         # per-shard dedup only; the global dedup happens in the attach-A
-        # shard (all copies of a pair share doc_a, hence one shard)
-        return pd.DataFrame({"doc_a": lo, "doc_b": hi}).drop_duplicates()
+        # shard (all copies of a pair share doc_a, hence one shard).
+        # unique_pairs: packed-key np.unique behind an id-width guard
+        from spider_ray.blockutil import unique_pairs
+
+        av, bv = unique_pairs(np.minimum(a, bb), np.maximum(a, bb))
+        return pd.DataFrame({"doc_a": av, "doc_b": bv})
 
     pairs = bands.groupby("_shard").map_groups(shard_pairs, batch_format="pandas")
 
@@ -555,25 +605,21 @@ def simhash_near_dup_pairs(
             )
         a = np.concatenate(out_a)
         bb = np.concatenate(out_b2)
-        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
-        uk = np.unique((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64))
-        return pd.DataFrame(
-            {
-                "doc_a": (uk >> np.uint64(32)).astype(np.int64),
-                "doc_b": (uk & np.uint64(0xFFFFFFFF)).astype(np.int64),
-            }
-        )
+        # unique_pairs guards the packed-uint64 fast path behind an id-width
+        # check: doc_ids beyond 2^32 (the 10^10-row tier) take a lexsort
+        # unique instead of silently colliding packed keys
+        from spider_ray.blockutil import unique_pairs
+
+        av, bv = unique_pairs(np.minimum(a, bb), np.maximum(a, bb))
+        return pd.DataFrame({"doc_a": av, "doc_b": bv})
 
     def dedup_merge(bt: pd.DataFrame) -> pa.Table:
-        a = bt["doc_a"].to_numpy(np.uint64)
-        bb = bt["doc_b"].to_numpy(np.uint64)
-        uk = np.unique((a << np.uint64(32)) | bb)
-        return pa.table(
-            {
-                "doc_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
-                "doc_b": pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-            }
+        from spider_ray.blockutil import unique_pairs
+
+        av, bv = unique_pairs(
+            bt["doc_a"].to_numpy(np.int64), bt["doc_b"].to_numpy(np.int64)
         )
+        return pa.table({"doc_a": pa.array(av), "doc_b": pa.array(bv)})
 
     pairs = (
         _docs(sf_dir, ["doc_id", "text"])
@@ -581,11 +627,15 @@ def simhash_near_dup_pairs(
         .groupby("_shard")
         .map_groups(shard_pairs, batch_format="pandas")
     )
-    pairs = _drop_empty_blocks(
-        pairs, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    )
-    return pairs.repartition(1).map_batches(
-        dedup_merge, batch_format="pandas", batch_size=None
+    # survivors ARE the answer; final_merge drops empty blocks, coalesces to
+    # one merge task, and auto-inserts an intermediate repartition(cpus)
+    # merge level if partial rows ever exceed its threshold (10^6-block tier)
+    from spider_ray.blockutil import final_merge
+
+    return final_merge(
+        pairs,
+        dedup_merge,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
 
 

@@ -66,7 +66,16 @@ def source_counts(sf_dir: str) -> Dataset:
             "n_docs", pa.array(np.ones(batch.num_rows, dtype=np.int64))
         )
         g = t.group_by("source").aggregate([("n_docs", "sum"), ("n_chars", "sum")])
-        return g.rename_columns(["source", "n_docs", "total_chars"])
+        # select by NAME ("<col>_sum"), not positional rename_columns —
+        # pyarrow's aggregate column ORDER has flipped across versions
+        # (keys-first in 16.x, aggregates-first historically)
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": g.column("n_docs_sum"),
+                "total_chars": g.column("n_chars_sum"),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -128,15 +137,16 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
                 ("count_order", "sum"),
             ]
         )
-        return g.rename_columns(
-            [
-                "l_returnflag",
-                "l_linestatus",
-                "sum_qty_c",
-                "sum_base_c",
-                "sum_disc_c4",
-                "count_order",
-            ]
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty_c": g.column("sum_qty_c_sum"),
+                "sum_base_c": g.column("sum_base_c_sum"),
+                "sum_disc_c4": g.column("sum_disc_c4_sum"),
+                "count_order": g.column("count_order_sum"),
+            }
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
@@ -155,17 +165,27 @@ def orders_by_segment(sf_dir: str) -> Dataset:
     cust = pq.read_table(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
-    lookup_ref = ray.put(
-        dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
-    )
+    # broadcast payload is two parallel NUMPY arrays (custkeys sorted +
+    # their segments), not a python dict: the per-batch lookup is then one
+    # vectorized np.searchsorted instead of an interpreter call per order
+    # row (10^9 at the design point)
+    ck = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+    seg_arr = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)
+    order = np.argsort(ck, kind="stable")
+    lookup_ref = ray.put((ck[order], seg_arr[order]))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def join_partial(batch: pa.Table) -> pa.Table:
         from spider_ray.stages.broadcast import get_broadcast
 
-        lookup = get_broadcast(lookup_ref)  # deserialized once per worker
-        seg = [lookup.get(k) for k in batch.column("o_custkey").to_pylist()]
+        ck_s, segs = get_broadcast(lookup_ref)  # deserialized once per worker
+        keys = batch.column("o_custkey").to_numpy()
+        pos = np.searchsorted(ck_s, keys)
+        cand = np.minimum(pos, len(ck_s) - 1)
+        hit = ck_s[cand] == keys
+        seg = np.take(segs, cand)  # np.take, not fancy indexing (BASELINE.md)
+        seg[~hit] = None  # unmatched orders keep the dict-path null semantics
         total_c = _cents(batch.column("o_totalprice").to_numpy())
         t = pa.table(
             {
@@ -177,7 +197,14 @@ def orders_by_segment(sf_dir: str) -> Dataset:
         g = t.group_by("mktsegment").aggregate(
             [("n_orders", "sum"), ("total_c", "sum")]
         )
-        return g.rename_columns(["mktsegment", "n_orders", "total_c"])
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table(
+            {
+                "mktsegment": g.column("mktsegment"),
+                "n_orders": g.column("n_orders_sum"),
+                "total_c": g.column("total_c_sum"),
+            }
+        )
 
     partials = ds.map_batches(join_partial, batch_format="pyarrow", batch_size=16384)
     return partials.groupby("mktsegment").aggregate(
@@ -197,8 +224,13 @@ def events_hourly(sf_dir: str) -> Dataset:
 
     def trunc(batch: pa.Table) -> pa.Table:
         # per-batch PARTIAL count (the q1 combiner pattern): the shuffle
-        # carries O(groups × blocks) partial rows, never O(events)
-        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        # carries O(groups × blocks) partial rows, never O(events).
+        # floor_temporal keeps the INPUT column's unit — pin to µs before
+        # the int64 round-trip (a ns-unit parquet would otherwise come back
+        # 1000× off when cast_back assumes timestamp[us])
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour").cast(
+            pa.timestamp("us")
+        )
         t = pa.table(
             {
                 "event_type": batch.column("event_type"),
@@ -207,7 +239,14 @@ def events_hourly(sf_dir: str) -> Dataset:
             }
         )
         g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
-        return g.rename_columns(["event_type", "hour", "n"])
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "hour": g.column("hour"),
+                "n": g.column("n_sum"),
+            }
+        )
 
     def cast_back(batch: pa.Table) -> pa.Table:
         return batch.set_column(
@@ -261,7 +300,14 @@ def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Data
             .group_by(["event_type", "window_start"])
             .aggregate([("n", "sum")])
         )
-        return g.rename_columns(["event_type", "window_start", "n"])
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "window_start": g.column("window_start"),
+                "n": g.column("n_sum"),
+            }
+        )
 
     def cast_back(batch: pa.Table) -> pa.Table:
         return batch.set_column(
@@ -302,10 +348,17 @@ def top_events_per_type(sf_dir: str, k: int = 3) -> Dataset:
         return d.loc[keep]
 
     partials = ds.map_batches(local_topk, batch_format="pandas", batch_size=16384)
-    # merge level: partials are metadata-sized (k per type per block); at a
-    # 10^6-block tier add one intermediate repartition(cpus) level first
-    return partials.repartition(1).map_batches(
-        local_topk, batch_format="pandas", batch_size=None
+    # partials are metadata-sized (k per type per block); final_merge
+    # inserts an intermediate repartition(cpus) merge level automatically
+    # if partial rows exceed its threshold (the 10^6-block tier)
+    from spider_ray.blockutil import final_merge
+
+    return final_merge(
+        partials,
+        local_topk,
+        pa.schema(
+            [("event_type", pa.string()), ("event_id", pa.int64()), ("value_c", pa.int64())]
+        ),
     )
 
 
@@ -319,7 +372,10 @@ def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
             "n_events", pa.array(np.ones(batch.num_rows, dtype=np.int64))
         )
         g = t.group_by("user_id").aggregate([("n_events", "sum")])
-        return g.rename_columns(["user_id", "n_events"])
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table(
+            {"user_id": g.column("user_id"), "n_events": g.column("n_events_sum")}
+        )
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")

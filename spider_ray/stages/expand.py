@@ -222,17 +222,53 @@ def make_robots_filter(rules: dict[str, list[str]]):
 def finalize_store(store_root: str, out_path: str) -> None:
     """Optional exactness net after task retries: rewrite the store keeping
     one row per url (min discovery_rank). Reference analog: the DB's
-    UNIQUE(url) upsert (schema.py:15, postgres_database.py:122-131)."""
+    UNIQUE(url) upsert (schema.py:15, postgres_database.py:122-131).
+
+    FULLY VECTORIZED (the reconcile_stores claim-key shape — no per-group
+    Python; the previous ``groupby(url).map_groups(head(1))`` paid one
+    pandas call per url, 10^10 at the design point): the per-url winner is
+    a plain ``groupby(url).min(discovery_rank)`` aggregate (ranks are
+    unique per crawl, so min rank alone identifies the winning row), the
+    winning rows come back via an inner hash JOIN on
+    ``(url, discovery_rank)``, and byte-identical duplicate rows (a
+    retry-duplicated part file: same url AND rank) are dropped per BLOCK —
+    exact because the join output is hash-partitioned on its key, so every
+    copy of a key shares one block."""
     import ray
+    from ray.data.aggregate import Min
 
-    def pick(g):
-        # STORE_SCHEMA-pinned Arrow out: a raw pandas return would write
-        # parts with the b'pandas' schema blob and string instead of
-        # large_string — a schema drift between original and rewritten parts
-        g = g.sort_values("discovery_rank").head(1)
-        return pa.Table.from_pandas(
-            g, schema=STORE_SCHEMA, preserve_index=False
-        ).replace_schema_metadata(None)
+    from spider_ray.blockutil import (
+        default_join_partitions,
+        drop_empty_blocks,
+        read_clean_parquet,
+    )
 
-    ds = ray.data.read_parquet(store_root)
-    ds.groupby("url").map_groups(pick, batch_format="pandas").write_parquet(out_path)
+    rows = drop_empty_blocks(read_clean_parquet(store_root))
+    winners = drop_empty_blocks(
+        rows.groupby("url").aggregate(Min("discovery_rank", alias_name="discovery_rank")),
+        pa.schema([("url", pa.string()), ("discovery_rank", pa.int64())]),
+    )
+    merged = rows.join(
+        winners,
+        join_type="inner",
+        num_partitions=default_join_partitions(floor=8),
+        on=("url", "discovery_rank"),
+    )
+
+    def norm(b: pa.Table) -> pa.Table:
+        # per-block exact dedup of retry copies + STORE_SCHEMA-pinned
+        # column order/types (join output column order is join-internal)
+        import pandas as pd
+
+        d = pd.DataFrame(
+            {"url": b.column("url").to_pandas(), "rank": b.column("discovery_rank").to_pandas()}
+        )
+        keep = ~d.duplicated(subset=["url", "rank"]).to_numpy()
+        b = b.filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [b.column(f.name).cast(f.type) for f in STORE_SCHEMA], schema=STORE_SCHEMA
+        )
+
+    merged.map_batches(norm, batch_format="pyarrow", batch_size=None).write_parquet(
+        out_path
+    )

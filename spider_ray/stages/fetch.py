@@ -31,12 +31,24 @@ import ray
 from ray.data import Dataset
 
 
-def _url_hash64(u: str) -> int:
-    import hashlib
+def _url_hash_batch(urls) -> np.ndarray:
+    """Vectorized 64-bit url hash (pandas' C siphash via
+    ``pd.util.hash_array`` — deterministic across processes: the key is
+    pandas' fixed default). Replaces a per-string ``hashlib.blake2b`` call
+    inside ``np.fromiter`` — the biggest remaining constant on the fetch
+    hot path (paid per frontier row per round and per corpus row at index
+    build). Only invariants required of the hash: 64-bit, identical on the
+    index-build and lookup sides (collisions are verified away by url
+    equality in ``_CorpusIndex._resolve``)."""
+    import pandas as pd
 
-    return int.from_bytes(
-        hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(), "little"
-    )
+    arr = np.asarray(urls, dtype=object)
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+def _url_hash64(u: str) -> int:
+    """Scalar view of ``_url_hash_batch`` (tests / single-url probes)."""
+    return int(_url_hash_batch([u])[0])
 
 
 class _CorpusIndex:
@@ -84,7 +96,7 @@ class _CorpusIndex:
     def _resolve(self, burls: list[str]) -> np.ndarray:
         """Corpus row per url, -1 for misses."""
         n = len(self._hashes)
-        bh = np.fromiter((_url_hash64(u) for u in burls), np.uint64, len(burls))
+        bh = _url_hash_batch(burls)
         pos = np.searchsorted(self._hashes, bh)
         out = np.full(len(burls), -1, dtype=np.int64)
         in_range = pos < n
@@ -315,7 +327,10 @@ def load_corpus_ref(corpus_path: str):
     # (each scaling-protocol subprocess) then skips read+combine+hash
     # (~2 min at 8 GB on this host) and pays only the ray.put.
     prep = os.path.join(root, "_prepared.arrow")
-    idxf = os.path.join(root, "_prepared_idx.npz")
+    # v2: hash function changed (blake2b → vectorized siphash) — a v1 npz
+    # holds hashes the lookup side no longer computes, so it must never be
+    # picked up by mtime alone
+    idxf = os.path.join(root, "_prepared_idx_v2.npz")
     if (
         os.path.isdir(root)
         and os.path.exists(prep)
@@ -362,7 +377,7 @@ def load_corpus_ref(corpus_path: str):
     )
     del tbls
     urls = tbl.column("url").to_pylist()
-    hashes = np.fromiter((_url_hash64(u) for u in urls), np.uint64, len(urls))
+    hashes = _url_hash_batch(urls)
     order = np.argsort(hashes, kind="stable").astype(np.int64)
     h_sorted = hashes[order]
     if os.path.isdir(root):

@@ -118,3 +118,84 @@ def test_aggregate_then_join_with_empty_partitions():
     cleaned = drop_empty_blocks(agg, pa.schema([("k", pa.int64()), ("v", pa.int64())]))
     j = cleaned.join(right, join_type="inner", num_partitions=4, on=("k",))
     assert len(j.to_pandas()) == 2
+
+def test_unique_pairs_width_guard():
+    """Packed-uint64 fast path below 2^32; lexsort fallback above — ids at
+    the 10^10-row tier must not silently collide packed keys (ADVICE r3)."""
+    import numpy as np
+
+    from spider_ray.blockutil import unique_pairs
+
+    lo = np.array([1, 1, 2, 1], dtype=np.int64)
+    hi = np.array([5, 5, 9, 3], dtype=np.int64)
+    a, b = unique_pairs(lo, hi)
+    assert list(a) == [1, 1, 2] and list(b) == [3, 5, 9]
+
+    big = np.int64(1) << 40
+    lo2 = np.array([big, big, 2, big], dtype=np.int64)
+    hi2 = np.array([big + 1, big + 1, big + 5, big + 1], dtype=np.int64)
+    a2, b2 = unique_pairs(lo2, hi2)
+    assert list(a2) == [2, big] and list(b2) == [big + 5, big + 1]
+
+    e1, e2 = unique_pairs(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    assert len(e1) == 0 and len(e2) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_final_merge_two_level_path_matches_single_level():
+    """final_merge must produce identical output whether partial rows are
+    under the threshold (single merge task) or over it (one intermediate
+    repartition(cpus) level first), with empty blocks dropped either way."""
+    import pandas as pd
+    import ray
+
+    from spider_ray.blockutil import final_merge, unique_pairs
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a, bb = unique_pairs(
+            b["doc_a"].to_numpy(np.int64), b["doc_b"].to_numpy(np.int64)
+        )
+        return pd.DataFrame({"doc_a": a, "doc_b": bb})
+
+    parts = [
+        pd.DataFrame({"doc_a": [1, 2, 1], "doc_b": [4, 5, 4]}),
+        pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64"),
+        pd.DataFrame({"doc_a": [2, 3], "doc_b": [5, 6]}),
+    ]
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    want = [(1, 4), (2, 5), (3, 6)]
+    for threshold in (2_000_000, 1):  # single-level, then forced two-level
+        ds = ray.data.from_pandas(parts)
+        out = final_merge(ds, dedup, schema, threshold_rows=threshold).to_pandas()
+        got = sorted(zip(out["doc_a"], out["doc_b"]))
+        assert got == want, (threshold, got)
+
+
+def test_read_clean_parquet_empty_dir_raises(tmp_path):
+    from spider_ray.blockutil import read_clean_parquet
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError):
+        read_clean_parquet(str(d))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_clean_parquet_drifted_parts_fall_back(tmp_path):
+    """Part files with drifted schemas (string vs large_string) must read
+    via the unify fallback instead of mis-casting under the first file's
+    pinned schema (ADVICE r3)."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.blockutil import read_clean_parquet
+
+    d = tmp_path / "store"
+    d.mkdir()
+    pq.write_table(pa.table({"u": pa.array(["a", "b"], pa.string())}), d / "p1.parquet")
+    pq.write_table(
+        pa.table({"u": pa.array(["c"], pa.large_string())}), d / "p2.parquet"
+    )
+    out = read_clean_parquet(str(d))
+    assert sorted(out.to_pandas()["u"]) == ["a", "b", "c"]

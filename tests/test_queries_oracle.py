@@ -91,3 +91,39 @@ def test_bench_suite_names_are_registry_queries():
     spec.loader.exec_module(bench)
     unknown = [n for n in bench.QUERY_BENCH if n not in QUERIES]
     assert unknown == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_hourly_ns_unit_input(tmp_path):
+    """A ns-unit events parquet must yield the same hours as a µs-unit one:
+    trunc pins the floored hour to timestamp[us] before the int64 shuffle
+    round-trip (ADVICE r3 — the unit used to follow the input column)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.relational import events_hourly
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:15:00", "2024-01-01 10:45:00", "2024-01-01 11:05:00"]
+    )
+    for unit, sub in (("us", "us_dir"), ("ns", "ns_dir")):
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a"]),
+                "ts": pa.array(ts).cast(pa.timestamp(unit)),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+    us = events_hourly(str(tmp_path / "us_dir")).to_pandas()
+    ns = events_hourly(str(tmp_path / "ns_dir")).to_pandas()
+    key = ["event_type", "hour"]
+    assert us.sort_values(key).reset_index(drop=True).equals(
+        ns.sort_values(key).reset_index(drop=True)
+    )
+    assert sorted(us["hour"].astype(str)) == [
+        "2024-01-01 10:00:00",
+        "2024-01-01 11:00:00",
+    ]
