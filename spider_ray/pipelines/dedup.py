@@ -111,10 +111,6 @@ def minhash_from_hashes(h: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
-_PERM_BLOCK = 8  # perms hashed per pass in minhash_batch — bounds the
-# (perm_block × total_shingles) temporary at ~13 MB for a 1024-doc batch
-
-
 def minhash_batch(chunk: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Minhash signatures for a WHOLE large_binary sketch chunk at once.
 
@@ -122,40 +118,46 @@ def minhash_batch(chunk: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     ``lens[i]`` its shingle count. Decodes the chunk via its offsets/data
     buffers (one ``np.frombuffer`` over the concatenated uint64 sketch
     bytes — the per-doc ``as_py()`` loop this replaces paid one interpreter
-    call per document), then computes each perm's universal hash over the
-    full value array and segments the min per doc with
-    ``np.minimum.reduceat``. Perms go in blocks of ``_PERM_BLOCK`` to bound
-    the temporary. Zero-length docs get an all-zero signature row (callers
-    mask them out via ``lens == 0`` — same contract as the loop had)."""
+    call per document), then computes each perm's universal hash as ONE 1-D
+    pass over the full value array and segments the min per doc with
+    ``np.minimum.reduceat``. The perm loop stays 1-D on purpose: the
+    broadcast 2-D shape ``(perms × values)`` measured 4.5× SLOWER on this
+    numpy build (strided temporaries), and the arithmetic itself — not the
+    loop — is the cost floor (the ``% (2^61-1)`` divide; a Mersenne
+    shift-add fold also measured slower here). Zero-length docs get an
+    all-zero signature row (callers mask them out via ``lens == 0`` — same
+    contract as the loop had)."""
     n = len(chunk)
-    sigs = np.zeros((n, _MINHASH_PERMS), dtype=np.uint64)
+    sigs = np.zeros((_MINHASH_PERMS, n), dtype=np.uint64)
     if n == 0:
-        return sigs, np.zeros(0, dtype=np.int64)
+        return sigs.T, np.zeros(0, dtype=np.int64)
     off_buf, data_buf = chunk.buffers()[1], chunk.buffers()[2]
     offsets = np.frombuffer(off_buf, dtype=np.int64)[
         chunk.offset : chunk.offset + n + 1
     ]
     lens = np.diff(offsets) // 8
     if data_buf is None or lens.sum() == 0:
-        return sigs, lens
+        return sigs.T, lens
     vals = np.frombuffer(data_buf, dtype=np.uint64)[
         offsets[0] // 8 : offsets[-1] // 8
     ]
     starts = (offsets[:-1] - offsets[0]) // 8
     nonempty = np.flatnonzero(lens > 0)
-    ne_starts = starts[nonempty]
+    all_nonempty = nonempty.size == n
+    ne_starts = starts if all_nonempty else starts[nonempty]
+    prime = np.uint64(_PRIME)
     with np.errstate(over="ignore"):
-        for p0 in range(0, _MINHASH_PERMS, _PERM_BLOCK):
-            a = _A[p0 : p0 + _PERM_BLOCK, None]
-            b = _B[p0 : p0 + _PERM_BLOCK, None]
-            v = (vals[None, :] * a + b) % np.uint64(_PRIME)
+        for p in range(_MINHASH_PERMS):
+            v = (vals * _A[p] + _B[p]) % prime
             # reduceat over nonempty doc starts: a zero-length segment would
             # alias the next doc's first value, so empty docs are excluded
             # and keep their zero rows
-            sigs[nonempty, p0 : p0 + _PERM_BLOCK] = np.minimum.reduceat(
-                v, ne_starts, axis=1
-            ).T
-    return sigs, lens
+            red = np.minimum.reduceat(v, ne_starts)
+            if all_nonempty:
+                sigs[p] = red
+            else:
+                sigs[p, nonempty] = red
+    return np.ascontiguousarray(sigs.T), lens
 
 
 def minhash_signature(text: str, n: int = 3) -> np.ndarray:
