@@ -331,18 +331,37 @@ def load_corpus_ref(corpus_path: str):
     # holds hashes the lookup side no longer computes, so it must never be
     # picked up by mtime alone
     idxf = os.path.join(root, "_prepared_idx_v2.npz")
+    def _build_index(tbl):
+        urls = tbl.column("url").to_pylist()
+        hashes = _url_hash_batch(urls)
+        order = np.argsort(hashes, kind="stable").astype(np.int64)
+        return hashes[order], order
+
+    def _save_index(h_sorted, order):
+        try:  # best effort — the npz only saves the next process the build
+            np.savez(idxf + ".tmp.npz", h=h_sorted, o=order)
+            os.replace(idxf + ".tmp.npz", idxf)
+        except OSError:
+            pass
+
     if (
         os.path.isdir(root)
         and os.path.exists(prep)
-        and os.path.exists(idxf)
         and os.path.getmtime(prep) >= src_mtime
-        and os.path.getmtime(idxf) >= src_mtime
     ):
         import pyarrow.ipc as ipc
 
         tbl = ipc.open_file(pa.memory_map(prep)).read_all()
-        d = np.load(idxf)
-        ref = ray.put((tbl, d["h"], d["o"]))
+        if os.path.exists(idxf) and os.path.getmtime(idxf) >= src_mtime:
+            d = np.load(idxf)
+            h_sorted, order = d["h"], d["o"]
+        else:
+            # prepared table valid but index missing/stale (e.g. the hash
+            # function version moved): rebuild JUST the index from the
+            # mmapped table — seconds, vs minutes for a full re-read
+            h_sorted, order = _build_index(tbl)
+            _save_index(h_sorted, order)
+        ref = ray.put((tbl, h_sorted, order))
         _REF_CACHE[key] = ref
         return ref
 
@@ -376,10 +395,7 @@ def load_corpus_ref(corpus_path: str):
         pa.concat_tables(g).combine_chunks() for g in groups
     )
     del tbls
-    urls = tbl.column("url").to_pylist()
-    hashes = _url_hash_batch(urls)
-    order = np.argsort(hashes, kind="stable").astype(np.int64)
-    h_sorted = hashes[order]
+    h_sorted, order = _build_index(tbl)
     if os.path.isdir(root):
         try:  # persist the prepared form for the next process (best effort)
             import pyarrow.ipc as ipc
@@ -388,10 +404,9 @@ def load_corpus_ref(corpus_path: str):
             with pa.OSFile(tmp, "wb") as f, ipc.new_file(f, tbl.schema) as w:
                 w.write_table(tbl)
             os.replace(tmp, prep)
-            np.savez(idxf + ".tmp.npz", h=h_sorted, o=order)
-            os.replace(idxf + ".tmp.npz", idxf)
         except OSError:
             pass
+        _save_index(h_sorted, order)
     ref = ray.put((tbl, h_sorted, order))
     _REF_CACHE[key] = ref
     return ref
