@@ -126,6 +126,8 @@ QUERY_BENCH = [
     "quality_scores",
     "lang_confusion",
     "minhash_lsh_pairs",
+    "minhash_dedup_clusters",
+    "sample_documents",
     "ngram_jaccard_pairs",
     "simhash_table",
     "simhash_near_dup_pairs",

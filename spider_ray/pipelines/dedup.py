@@ -472,6 +472,46 @@ def minhash_lsh_pairs(
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
+def minhash_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.8) -> pa.Table:
+    """Near-dup CLUSTER assignment — the step after pair generation that a
+    dedup pipeline actually consumes: ``(doc_id, rep_id)`` for every doc in
+    at least one J ≥ threshold pair, where ``rep_id`` is the minimum doc_id
+    of the doc's connected component in the pair graph (the canonical
+    "keep the representative, drop the rest" rule).
+
+    Scale shape: the pair set is ANSWER-sized (the LSH+verify output the
+    caller would collect anyway), so the union-find runs driver-side over
+    it — O(pairs·α), with the root kept at the component minimum by always
+    attaching the larger root under the smaller. A dup graph too large for
+    one driver would switch to iterative min-label propagation (label =
+    min(neighbor labels) via the attach_payload join, repeated to
+    fixpoint) — that seam is this function; the quadratic-contract caveat
+    on degenerate boilerplate clusters is the same one minhash_lsh_pairs
+    documents."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # smaller root stays root → every root is its component's min
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = sorted(parent)
+    reps = [find(i) for i in ids]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "rep_id": pa.array(reps, pa.int64())}
+    )
+
+
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 # word → md5-low64 cache (per worker process; synthetic/web vocab is zipfian
 # so the hit rate is high); bounded to keep worker heap flat

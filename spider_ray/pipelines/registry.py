@@ -83,8 +83,13 @@ QUERIES = {
     "quality_scores": textops.quality_scores,
     "lang_confusion": textops.lang_confusion,
     "shingle_stats": textops.shingle_stats,
+    # deterministic content-hash downsampling (md5_number_lower % 100)
+    "sample_documents": textops.sample_documents,
     # dedup family / similarity
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+    # connected-component representative per near-dup doc (union-find over
+    # the answer-sized pair set; SQL oracle = recursive-CTE closure)
+    "minhash_dedup_clusters": dedup.minhash_dedup_clusters,
     # direct exact-Jaccard baseline over the bounded id slice (its
     # unbounded scale path is minhash_lsh_pairs)
     "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -231,6 +236,34 @@ ORACLE_SQL = {
         "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id FROM embeddings, q "
         "ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id LIMIT 10"
+    ),
+    # keep iff md5-low-64(text) % 100 < 10 — the engine computes the
+    # identical hash (md5 digest bytes 8..16 little-endian)
+    "sample_documents": (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE md5_number_lower(text) % 100 < 10"
+    ),
+    # transitive closure of the exact all-pairs J>=0.8 graph (the same pair
+    # predicate as minhash_lsh_pairs' oracle): rep = min reachable doc_id
+    "minhash_dedup_clusters": (
+        "WITH RECURSIVE s AS ("
+        "SELECT doc_id, list_distinct(list_transform(range(1, len(words)-1), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh "
+        r"FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words "
+        "FROM documents)), "
+        "e AS (SELECT a.doc_id AS u, b.doc_id AS v "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.sh,b.sh))*100 >= "
+        "80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) "
+        "AND len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)) > 0), "
+        "ee AS (SELECT u, v FROM e UNION SELECT v, u FROM e), "
+        "nodes AS (SELECT DISTINCT u AS doc_id FROM ee), "
+        "reach(src, node) AS ("
+        "SELECT doc_id, doc_id FROM nodes "
+        "UNION "
+        "SELECT r.src, ee.v FROM reach r JOIN ee ON r.node = ee.u) "
+        "SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS rep_id "
+        "FROM reach GROUP BY src"
     ),
     # MinHash+LSH with 32×2 banding misses a J≥0.8 pair w.p. ≤6e-15, so the
     # engine output equals this EXACT all-pairs answer (LSH is the candidate

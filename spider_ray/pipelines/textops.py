@@ -168,6 +168,33 @@ def shingle_stats(sf_dir: str, n: int = 3) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def sample_documents(sf_dir: str, pct: int = 10) -> Dataset:
+    """Deterministic content-hash downsampling — the training-data
+    pipeline's "keep pct% of the corpus" stage, reproducible across runs
+    and resumable shards because the keep decision is a pure function of
+    the document (no RNG state to coordinate across 256 nodes): keep a doc
+    iff ``md5-low-64(text) % 100 < pct``. The hash is md5 digest bytes
+    8..16 little-endian — DuckDB's ``md5_number_lower``, the same word-hash
+    definition as dedup.simhash — so an ANSI-SQL oracle recomputes the
+    exact sample. Uniform per stratum by construction (the hash is
+    independent of ``source``), i.e. stratified in expectation without a
+    per-stratum pass."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                for t in batch["text"]
+            ],
+            dtype=np.uint64,
+        )
+        return batch.loc[(hs % 100) < pct, ["doc_id", "source", "n_chars"]]
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
 def rolling_fingerprint(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> int:
     """Deterministic rolling-hash document fingerprint (Rabin-Karp style):
     min of window hashes — robust to local edits, used by tests as a

@@ -241,3 +241,34 @@ def test_simhash_near_dup_pairs_vs_oracle_and_exact_dups():
     # partition-count invariance (the shard fan-out is a parallelism knob)
     p2 = simhash_near_dup_pairs(sf, num_partitions=3).to_pandas()
     assert set(map(tuple, p2[["doc_a", "doc_b"]].itertuples(index=False))) == exact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_clusters_transitive_chain(tmp_path):
+    """a~b and b~c above threshold with a~c BELOW it: the component is
+    still {a,b,c} (transitive closure), rep = min id; untouched docs are
+    absent from the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.dedup import minhash_dedup_clusters
+
+    words = [f"w{i:03d}" for i in range(120)]
+    texts = [
+        " ".join(words[0:100]),    # J(0,1) ≈ 0.81 ≥ 0.8
+        " ".join(words[10:110]),   # J(1,2) ≈ 0.81 ≥ 0.8
+        " ".join(words[20:120]),   # J(0,2) ≈ 0.66 < 0.8
+        "completely unrelated text about nothing shared at all here",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = minhash_dedup_clusters(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"], out["rep_id"]))
+    assert got == {0: 0, 1: 0, 2: 0}
