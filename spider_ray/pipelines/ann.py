@@ -501,19 +501,34 @@ def embedding_near_dup_lsh(
         num_shards=num_partitions,
     )
 
+    def payload_matrix(col: "pa.ChunkedArray", n_rows: int) -> np.ndarray:
+        # fixed-width binary column → (rows, dim) float64 matrix decoded at
+        # the BUFFER level: slice each chunk's values buffer by its offsets
+        # and view as float64 — no per-row python bytes objects (the
+        # b"".join(to_pylist()) it replaces materialized one bytes object
+        # per pair row)
+        bufs = []
+        for chunk in col.chunks:
+            if len(chunk) == 0:
+                continue
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+            )
+            offs = np.frombuffer(chunk.buffers()[1], dtype=off_dtype)[
+                chunk.offset : chunk.offset + len(chunk) + 1
+            ]
+            data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+            bufs.append(data[offs[0] : offs[-1]])
+        # concatenate allocates one fresh (aligned) buffer — a single memcpy
+        return np.concatenate(bufs).view(np.float64).reshape(n_rows, -1)
+
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
                 {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
             )
-        # fixed-width payloads → one reshape per side, one vectorized
-        # row-wise dot (einsum), no per-row Python
-        va = np.frombuffer(
-            b"".join(batch.column("v_a").to_pylist()), dtype=np.float64
-        ).reshape(batch.num_rows, -1)
-        vb = np.frombuffer(
-            b"".join(batch.column("v_b").to_pylist()), dtype=np.float64
-        ).reshape(batch.num_rows, -1)
+        va = payload_matrix(batch.column("v_a"), batch.num_rows)
+        vb = payload_matrix(batch.column("v_b"), batch.num_rows)
         cos = np.einsum("ij,ij->i", va, vb)
         keep = cos * 100 >= thr
         return pa.table(

@@ -79,13 +79,12 @@ def docs_as_payloads(sf_dir: str) -> Dataset:
     )
 
     def enc(batch: pa.Table) -> pa.Table:
+        # Arrow string storage IS the utf-8 bytes: the string→binary cast
+        # reuses the buffers (no per-row encode loop)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "payload": pa.array(
-                    [t.encode("utf-8") for t in batch.column("text").to_pylist()],
-                    pa.binary(),
-                ),
+                "payload": batch.column("text").cast(pa.binary()),
             }
         )
 

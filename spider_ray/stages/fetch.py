@@ -105,20 +105,24 @@ class _CorpusIndex:
         if hash_hit.any():
             hit_idx = np.flatnonzero(hash_hit)
             rows = self._rows[pos[hit_idx]]
-            got = self._take(self._urls, rows).to_pylist()
-            for k, (i, r) in enumerate(zip(hit_idx, rows)):
+            # vectorized url-equality verify (one C-level object compare,
+            # not a python loop per hit — this runs per frontier row per
+            # round); the python probe below only ever sees the ~n²·2⁻⁶⁴
+            # hash-collision mismatches
+            got = self._take(self._urls, rows).to_numpy(zero_copy_only=False)
+            want = np.asarray(burls, dtype=object)[hit_idx]
+            ok = got == want
+            out[hit_idx[ok]] = rows[ok]
+            for i in hit_idx[~ok]:
+                # 64-bit hash collision: probe the equal-hash run
                 u = burls[i]
-                if got[k] == u:
-                    out[i] = r
-                else:
-                    # 64-bit hash collision (~n²·2⁻⁶⁴): probe the run
-                    p = pos[i]
-                    while p < n and self._hashes[p] == bh[i]:
-                        r2 = int(self._rows[p])
-                        if self._urls[r2].as_py() == u:
-                            out[i] = r2
-                            break
-                        p += 1
+                p = pos[i]
+                while p < n and self._hashes[p] == bh[i]:
+                    r2 = int(self._rows[p])
+                    if self._urls[r2].as_py() == u:
+                        out[i] = r2
+                        break
+                    p += 1
         return out
 
     def lookup(self, batch: pa.Table) -> pa.Table:
