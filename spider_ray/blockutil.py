@@ -205,6 +205,11 @@ def attach_payload(
     return tagged.groupby("_s").map_groups(merge, batch_format="pandas")
 
 
+# read_clean_parquet checks every file's footer schema up to this count,
+# then falls back to a spread sample (see its docstring)
+_SCHEMA_PROBE_ALL = 64
+
+
 def read_clean_parquet(path, columns: list[str] | None = None, **kwargs) -> Dataset:
     """``read_parquet`` with the file's schema passed EXPLICITLY, minus
     metadata. Pandas-written parquet carries a ``b'pandas'`` schema-metadata
@@ -216,12 +221,16 @@ def read_clean_parquet(path, columns: list[str] | None = None, **kwargs) -> Data
     means blocks never carry the blob at all. When ``columns`` is given the
     schema must describe exactly the selected columns (ray 2.49 contract).
 
-    The pinned schema comes from a SAMPLE of files (first + last + middle of
-    the sorted listing, cheap footer reads): if any sampled schema disagrees
-    (drifted part files — e.g. string vs large_string from a different
-    writer), the pin is dropped and the read falls back to ray's own unify
-    path plus a per-block metadata strip, instead of mis-casting or raising
-    on whichever file sort order put first."""
+    Schema-drift handling: footer schemas are checked for EVERY file up to
+    ``_SCHEMA_PROBE_ALL`` files (footer reads are cheap); beyond that, a
+    spread sample is checked — at that count the directory is one writer's
+    partitioned output and a single odd file out is a corruption class this
+    guard does not claim to catch (the full check would cost a driver-side
+    metadata scan per read). On any detected disagreement (drifted part
+    files — e.g. string vs large_string from a different writer) the pin is
+    dropped and the read falls back to ray's own unify path plus a
+    per-block metadata strip, instead of mis-casting or raising on
+    whichever file sort order put first."""
     import glob
     import os
 
@@ -236,7 +245,11 @@ def read_clean_parquet(path, columns: list[str] | None = None, **kwargs) -> Data
         )
         if not probes:
             raise FileNotFoundError(f"no parquet files under directory {path!r}")
-    sample = {probes[0], probes[-1], probes[len(probes) // 2]}
+    if len(probes) <= _SCHEMA_PROBE_ALL:
+        sample = set(probes)
+    else:
+        step = len(probes) // _SCHEMA_PROBE_ALL
+        sample = set(probes[::step]) | {probes[-1]}
     schemas = [pq.read_schema(p).remove_metadata() for p in sorted(sample)]
     if any(not s.equals(schemas[0]) for s in schemas[1:]):
         # drifted parts: no safe single pin — let the read unify, then strip

@@ -132,9 +132,13 @@ def minhash_batch(chunk: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if n == 0:
         return sigs.T, np.zeros(0, dtype=np.int64)
     off_buf, data_buf = chunk.buffers()[1], chunk.buffers()[2]
-    offsets = np.frombuffer(off_buf, dtype=np.int64)[
+    # offset width dispatched on the chunk type (ann.payload_matrix's
+    # guard): a plain-binary sketch column (int32 offsets) would otherwise
+    # misparse silently under a hard-coded int64 read
+    off_dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+    offsets = np.frombuffer(off_buf, dtype=off_dtype)[
         chunk.offset : chunk.offset + n + 1
-    ]
+    ].astype(np.int64)
     lens = np.diff(offsets) // 8
     if data_buf is None or lens.sum() == 0:
         return sigs.T, lens

@@ -181,11 +181,14 @@ def orders_by_segment(sf_dir: str) -> Dataset:
 
         ck_s, segs = get_broadcast(lookup_ref)  # deserialized once per worker
         keys = batch.column("o_custkey").to_numpy()
-        pos = np.searchsorted(ck_s, keys)
-        cand = np.minimum(pos, len(ck_s) - 1)
-        hit = ck_s[cand] == keys
-        seg = np.take(segs, cand)  # np.take, not fancy indexing (BASELINE.md)
-        seg[~hit] = None  # unmatched orders keep the dict-path null semantics
+        if len(ck_s):
+            pos = np.searchsorted(ck_s, keys)
+            cand = np.minimum(pos, len(ck_s) - 1)
+            hit = ck_s[cand] == keys
+            seg = np.take(segs, cand)  # np.take, not fancy indexing (BASELINE.md)
+            seg[~hit] = None  # unmatched orders keep the dict-path nulls
+        else:  # empty customer table: every order unmatched (all-null)
+            seg = np.full(len(keys), None, dtype=object)
         total_c = _cents(batch.column("o_totalprice").to_numpy())
         t = pa.table(
             {

@@ -248,6 +248,7 @@ def finalize_store(store_root: str, out_path: str) -> None:
         rows.groupby("url").aggregate(Min("discovery_rank", alias_name="discovery_rank")),
         pa.schema([("url", pa.string()), ("discovery_rank", pa.int64())]),
     )
+    n_urls = winners.count()
     merged = rows.join(
         winners,
         join_type="inner",
@@ -256,15 +257,17 @@ def finalize_store(store_root: str, out_path: str) -> None:
     )
 
     def norm(b: pa.Table) -> pa.Table:
-        # per-block exact dedup of retry copies + STORE_SCHEMA-pinned
-        # column order/types (join output column order is join-internal)
-        import pandas as pd
-
-        d = pd.DataFrame(
-            {"url": b.column("url").to_pandas(), "rank": b.column("discovery_rank").to_pandas()}
-        )
-        keep = ~d.duplicated(subset=["url", "rank"]).to_numpy()
-        b = b.filter(pa.array(keep))
+        # per-block exact dedup of retry copies, keyed on discovery_rank
+        # ALONE (ranks are globally unique per crawl, so equal rank ⇒ the
+        # byte-identical retry copy — no url strings materialize), plus
+        # STORE_SCHEMA-pinned column order/types (join output column order
+        # is join-internal). int64 sort + adjacent-compare, no Python rows.
+        ranks = b.column("discovery_rank").to_numpy()
+        order = np.argsort(ranks, kind="stable")
+        dup = np.zeros(len(ranks), dtype=bool)
+        dup[order[1:]] = ranks[order[1:]] == ranks[order[:-1]]
+        if dup.any():
+            b = b.filter(pa.array(~dup))
         return pa.Table.from_arrays(
             [b.column(f.name).cast(f.type) for f in STORE_SCHEMA], schema=STORE_SCHEMA
         )
@@ -272,3 +275,19 @@ def finalize_store(store_root: str, out_path: str) -> None:
     merged.map_batches(norm, batch_format="pyarrow", batch_size=None).write_parquet(
         out_path
     )
+    # The per-BLOCK dedup above relies on Ray's hash-join placing all rows
+    # of one key in one output block (true in ray 2.49; join finalize emits
+    # one block per hash partition). That is an internal, not a contract —
+    # so verify the global invariant OUTSIDE the assumption: exactly one
+    # row per url must survive. A violation means the block layout changed
+    # under us; fail loudly rather than ship duplicates from an "exactness
+    # net".
+    import ray
+
+    n_out = ray.data.read_parquet(out_path).count()
+    if n_out != n_urls:
+        raise RuntimeError(
+            f"finalize_store invariant violated: {n_out} rows written for "
+            f"{n_urls} urls — Ray's join no longer co-locates key copies "
+            "per block; the per-block dedup in norm() needs a keyed shuffle"
+        )

@@ -335,6 +335,13 @@ def load_corpus_ref(corpus_path: str):
     # holds hashes the lookup side no longer computes, so it must never be
     # picked up by mtime alone
     idxf = os.path.join(root, "_prepared_idx_v2.npz")
+    # The persisted index is only valid if THIS process's hash function
+    # produces the same values the builder's did — pandas' hash_array is an
+    # implementation detail, not a stable contract, so the npz carries a
+    # sentinel hash and a mismatch (e.g. a pandas upgrade) forces an index
+    # rebuild instead of silently missing every lookup.
+    sentinel = _url_hash_batch(["spider-ray-hash-sentinel-v2"])[0]
+
     def _build_index(tbl):
         urls = tbl.column("url").to_pylist()
         hashes = _url_hash_batch(urls)
@@ -343,7 +350,12 @@ def load_corpus_ref(corpus_path: str):
 
     def _save_index(h_sorted, order):
         try:  # best effort — the npz only saves the next process the build
-            np.savez(idxf + ".tmp.npz", h=h_sorted, o=order)
+            np.savez(
+                idxf + ".tmp.npz",
+                h=h_sorted,
+                o=order,
+                s=np.array([sentinel], dtype=np.uint64),
+            )
             os.replace(idxf + ".tmp.npz", idxf)
         except OSError:
             pass
@@ -356,8 +368,12 @@ def load_corpus_ref(corpus_path: str):
         import pyarrow.ipc as ipc
 
         tbl = ipc.open_file(pa.memory_map(prep)).read_all()
+        d = None
         if os.path.exists(idxf) and os.path.getmtime(idxf) >= src_mtime:
             d = np.load(idxf)
+            if "s" not in d or d["s"][0] != sentinel:
+                d = None  # hash implementation moved — rebuild below
+        if d is not None:
             h_sorted, order = d["h"], d["o"]
         else:
             # prepared table valid but index missing/stale (e.g. the hash
