@@ -199,3 +199,23 @@ def test_read_clean_parquet_drifted_parts_fall_back(tmp_path):
     )
     out = read_clean_parquet(str(d))
     assert sorted(out.to_pandas()["u"]) == ["a", "b", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_clean_parquet_mid_list_drift_caught(tmp_path):
+    """A drifted part at a NON-endpoint index (≤ the probe-all bound every
+    footer is checked) must also take the unify fallback."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.blockutil import read_clean_parquet
+
+    d = tmp_path / "store"
+    d.mkdir()
+    for i, typ in enumerate(
+        [pa.string(), pa.large_string(), pa.string(), pa.string(), pa.string()]
+    ):
+        pq.write_table(
+            pa.table({"u": pa.array([f"v{i}"], typ)}), d / f"p{i}.parquet"
+        )
+    out = read_clean_parquet(str(d))
+    assert sorted(out.to_pandas()["u"]) == [f"v{i}" for i in range(5)]

@@ -295,3 +295,47 @@ def test_engine_partitioned_fetch_mode_full_skew(tmp_path):
     store = read_store(str(tmp_path / "out")).to_pandas()
     oracle = crawl_oracle(cdict, seeds, max_depth=3)
     _assert_matches_oracle(res, store, oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_index_rebuilds_on_hash_sentinel_mismatch(corpus_dir):
+    """A persisted index whose sentinel doesn't match this process's hash
+    implementation must be rebuilt (not trusted by mtime) — otherwise a
+    hash-library change would silently miss every lookup."""
+    import numpy as np
+
+    import spider_ray.stages.fetch as F
+
+    ref1 = F.load_corpus_ref(corpus_dir)
+    import glob
+    import os
+
+    idxs = glob.glob(os.path.join(corpus_dir, "_prepared_idx*.npz"))
+    assert idxs, "prepared index should have been persisted"
+    d = dict(np.load(idxs[0]))
+    d["s"] = np.array([123], dtype=np.uint64)  # wrong-implementation marker
+    np.savez(idxs[0], **d)
+    os.utime(idxs[0])  # keep it mtime-fresh — only the sentinel is off
+    F._REF_CACHE.clear()
+    ref2 = F.load_corpus_ref(corpus_dir)
+    import ray
+
+    tbl, h, o = ray.get(ref2)
+    # rebuilt index resolves a real corpus url
+    idx = F._CorpusIndex((tbl, h, o))
+    url = tbl.column("url")[0].as_py()
+    import pyarrow as pa
+
+    got = idx.lookup(
+        pa.table(
+            {
+                "url": pa.array([url], pa.string()),
+                "depth": pa.array([0], pa.int32()),
+                "rank": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    assert got.num_rows == 1
+    # and the npz was re-persisted with the CORRECT sentinel
+    d2 = np.load(idxs[0])
+    assert d2["s"][0] != np.uint64(123)
