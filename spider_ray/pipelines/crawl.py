@@ -190,12 +190,30 @@ def _decode_candidates(batch: pa.Table) -> pa.Table:
     return out.select(FRONTIER_COLS)
 
 
+def _compact(t: pa.Table) -> pa.Table:
+    """Fresh buffers sized to the table. A SLICED Arrow column pickles its
+    FULL parent buffers (measured on pyarrow 16: a 1000-row slice of a
+    1M-row table serializes 38.7 MB; compacted, 37 KB) and
+    ``combine_chunks`` does NOT compact a single sliced chunk —
+    ``concat_arrays`` does. Apply before returning any slice-derived table
+    from a Ray task."""
+    if t.num_rows == 0:
+        return t
+    return pa.Table.from_arrays(
+        [pa.concat_arrays(list(c.chunks)) for c in t.columns], schema=t.schema
+    )
+
+
 @ray.remote
-def _decode_block_task(batch: pa.Table) -> pa.Table:
+def _decode_block_task(tbl: pa.Table, offset: int, length: int) -> pa.Table:
     """Per-slice candidate decode (depth bits + host regex) as a parallel
     task — the host extraction costs ~0.6 s/M rows, serial driver time the
-    refill path cannot afford on multi-million-claim rounds."""
-    return _decode_candidates(batch)
+    refill path cannot afford on multi-million-claim rounds. The ranked
+    table arrives as ONE ``ray.put`` ref (every task reads it zero-copy
+    from plasma — shipping ``tbl.slice(...)`` per task would serialize the
+    FULL parent buffers once per slice, ~nblocks× the frontier size), and
+    the output is compacted so the returned slice doesn't re-ship them."""
+    return _compact(_decode_candidates(tbl.slice(offset, length)))
 
 
 def _seed_frontier(
@@ -436,6 +454,8 @@ def crawl(
     **overrides,
 ) -> CrawlResult:
     """Run (or resume) a crawl. See module docstring for the round anatomy."""
+    if not seeds:
+        raise ValueError("crawl() needs at least one seed url")
     cfg = replace(cfg or CrawlConfig(), **overrides)
     assert cfg.max_depth <= claim.MAX_DEPTH
     if cfg.proxy is not None:
@@ -638,9 +658,12 @@ def crawl(
                             # and no serial decode on the driver)
                             nblocks = _target_blocks(n_new, cpus, cfg.fetch_batch_size)
                             step = -(-n_new // nblocks)
+                            # ONE put; tasks slice by (offset, length) —
+                            # see _decode_block_task for the pickle trap
+                            tref = ray.put(tbl)
                             dec_refs = [
                                 _decode_block_task.remote(
-                                    tbl.slice(i, min(step, n_new - i))
+                                    tref, i, min(step, n_new - i)
                                 )
                                 for i in range(0, n_new, step)
                             ]
@@ -828,7 +851,17 @@ def read_store(
     # stripping at the read keeps hash(Schema) working downstream either way
     from spider_ray.blockutil import read_clean_parquet
 
-    ds = read_clean_parquet(files, columns=columns)
+    sort_keys = ["depth", "discovery_rank"]
+    read_cols = columns
+    extra = []
+    if canonical_order and columns is not None:
+        # the sort needs its keys — read them alongside the pruned
+        # selection and drop them after ordering
+        extra = [k for k in sort_keys if k not in columns]
+        read_cols = columns + extra
+    ds = read_clean_parquet(files, columns=read_cols)
     if canonical_order:
-        ds = ds.sort(["depth", "discovery_rank"])
+        ds = ds.sort(sort_keys)
+        if extra:
+            ds = ds.drop_columns(extra)
     return ds

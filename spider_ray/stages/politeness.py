@@ -130,6 +130,13 @@ def politeness_split(
         thresholds, pa.schema([("host", pa.string()), ("_thr", pa.int64())])
     )
     n_hosts = thresholds.count()
+    if n_hosts == 0:
+        # no throttled host present in this round's frontier (e.g. override
+        # hosts crawled out in earlier rounds): everything fetches now —
+        # skip the flag map + materialize + two filter executions over the
+        # whole frontier (behavior-identical; crawl handles deferred=None
+        # and keeps its presplit fast path)
+        return pending, None
 
     if n_hosts <= broadcast_limit:
         tbl = thresholds.to_pandas()

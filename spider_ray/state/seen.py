@@ -250,8 +250,15 @@ class UrlSeenShard:
             # bloom_bits doubles as the sizing knob: bits/64 → buckets
             # (≈ bits/16 fingerprint slots)
             self._seen = CuckooSeen(n_buckets=max(1 << 10, bloom_bits >> 6))
-        else:
+        elif mode == "bloom":
             self._seen = BloomSeen(bloom_bits, n_hashes)
+        else:
+            # a typo'd mode silently falling back to bloom would DROP urls
+            # (bloom false positives) while the caller believes they ran
+            # the exact-dedup contract — fail loudly instead
+            raise ValueError(
+                f"unknown seen mode {mode!r} (expected exact | bloom | cuckoo)"
+            )
         self._round = -1
         self._claimed_this_round: set[str] = set()
         # offer/harvest state (dedup+claim fused on the shard)
@@ -338,6 +345,16 @@ class UrlSeenShard:
         return len(self._seen)
 
     def dump(self) -> dict:
+        """Round-BOUNDARY snapshot: the crawl only checkpoints between
+        rounds, after every offer of the round has been harvested. Un-
+        harvested offers cannot round-trip (they are neither claimed nor in
+        the frontier yet), so a mid-phase dump is a caller bug — refuse it
+        rather than silently drop the pending urls."""
+        if self._pending:
+            raise RuntimeError(
+                f"dump() with {len(self._pending)} un-harvested offers — "
+                "snapshot shards only at round boundaries (after harvest)"
+            )
         return {
             "mode": self._seen.mode,
             "payload": self._seen.dump_payload(),
@@ -351,8 +368,16 @@ class UrlSeenShard:
             self._seen = ExactSeen()
         elif d["mode"] == "cuckoo":
             self._seen = CuckooSeen()
-        else:
+        elif d["mode"] == "bloom":
             self._seen = BloomSeen()
+        else:
+            raise ValueError(f"unknown seen mode in snapshot: {d['mode']!r}")
         self._seen.restore_payload(d["payload"])
         self._round = d["round"]
         self._claimed_this_round = set(pickle.loads(d["claimed"]))
+        # drop any live offer-phase state from the pre-restore timeline —
+        # a stale pending dict or cached harvest would otherwise leak into
+        # the restored timeline's next harvest
+        self._pending = {}
+        self._harvest_round = -1
+        self._harvest_result = None

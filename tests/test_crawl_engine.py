@@ -339,3 +339,24 @@ def test_corpus_index_rebuilds_on_hash_sentinel_mismatch(corpus_dir):
     # and the npz was re-persisted with the CORRECT sentinel
     d2 = np.load(idxs[0])
     assert d2["s"][0] != np.uint64(123)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_store_canonical_order_with_pruned_columns(corpus_dir, tmp_path):
+    """canonical_order=True must work with columns= pruning (the sort keys
+    are read alongside and dropped after ordering)."""
+    from spider_ray.pipelines.crawl import crawl, read_store
+
+    out = str(tmp_path / "o")
+    crawl(corpus_dir, SEEDS, out, max_depth=1)
+    full = read_store(out, canonical_order=True).to_pandas()
+    pruned = read_store(out, canonical_order=True, columns=["url", "title"]).to_pandas()
+    assert list(pruned.columns) == ["url", "title"]
+    assert pruned["url"].tolist() == full["url"].tolist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        from spider_ray.pipelines.crawl import crawl as _c
+
+        _c(corpus_dir, [], str(tmp_path / "noseeds"))

@@ -107,3 +107,28 @@ def test_flagged_blocks_carry_hashable_metadata_free_schemas():
         for batch in part.iter_batches(batch_format="pyarrow", batch_size=None):
             assert batch.schema.metadata in (None, {})
             hash(batch.schema)  # raises on any metadata blob
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_no_throttled_host_in_frontier_early_returns():
+    """Override budgets for hosts absent from the frontier: everything
+    fetches now and the split returns deferred=None without running the
+    flag/filter executions."""
+    import pandas as pd
+    import ray as _ray
+
+    from spider_ray.stages.politeness import politeness_split
+
+    pending = _ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "url": ["https://a.example/1", "https://b.example/2"],
+                "host": ["a.example", "b.example"],
+                "depth": [1, 1],
+                "rank": [0, 1],
+            }
+        )
+    )
+    fetch_now, deferred = politeness_split(pending, None, {"absent.example": 2})
+    assert deferred is None
+    assert fetch_now.count() == 2

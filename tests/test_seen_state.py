@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from spider_ray.state.seen import BloomSeen, ExactSeen, UrlSeenShard, shard_of
 
@@ -143,3 +144,30 @@ def test_cuckoo_shared_fingerprint_discard_no_false_negative():
     assert c.discard(a) is True
     assert b in c  # the twin survives — duplicate fingerprints are stored
     assert len(c) == 1
+
+
+def test_unknown_seen_mode_raises():
+    from spider_ray.state.seen import UrlSeenShard
+
+    with pytest.raises(ValueError):
+        UrlSeenShard(mode="Exact")  # typo'd mode must not silently go bloom
+
+
+def test_dump_refuses_unharvested_offers_and_restore_clears_offer_state():
+    from spider_ray.state.seen import UrlSeenShard
+
+    s = UrlSeenShard(mode="exact")
+    s.offer(1, ["https://a/1"], [5])
+    with pytest.raises(RuntimeError):
+        s.dump()  # mid-phase snapshot would drop the pending offer
+    s.harvest(1)
+    snap = s.dump()
+
+    # a shard with live offers + cached harvest restoring an older snapshot
+    t = UrlSeenShard(mode="exact")
+    t.offer(1, ["https://a/1"], [5])
+    t.harvest(1)
+    t.offer(2, ["https://b/2"], [9])
+    t.restore(snap)
+    out = t.harvest(2)  # post-restore timeline: nothing offered in round 2
+    assert out.num_rows == 0
