@@ -68,7 +68,11 @@ def unique_pairs(lo, hi):
 
     if len(hi) == 0:
         return lo, hi
-    if hi.max() < 1 << 32 and lo.min() >= 0:
+    # lo.max() is checked too (not just hi.max()): packing is only safe when
+    # BOTH columns fit 32 bits, and relying on the callers' elementwise
+    # lo<=hi ordering contract to imply it would fail silently if a future
+    # caller passed unordered columns
+    if hi.max() < 1 << 32 and lo.min() >= 0 and lo.max() < 1 << 32:
         uk = np.unique((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64))
         return (uk >> np.uint64(32)).astype(np.int64), (
             uk & np.uint64(0xFFFFFFFF)

@@ -272,8 +272,16 @@ def finalize_store(store_root: str, out_path: str) -> None:
             [b.column(f.name).cast(f.type) for f in STORE_SCHEMA], schema=STORE_SCHEMA
         )
 
+    # Write to a tmp dir and promote only after the invariant check below
+    # passes — raising with out_path already populated would leave a
+    # duplicate-bearing directory a retry or careless caller could consume
+    # (the same tmp+rename convention as the store part writer above).
+    import shutil
+
+    building = out_path.rstrip("/") + ".building"
+    shutil.rmtree(building, ignore_errors=True)
     merged.map_batches(norm, batch_format="pyarrow", batch_size=None).write_parquet(
-        out_path
+        building
     )
     # The per-BLOCK dedup above relies on Ray's hash-join placing all rows
     # of one key in one output block (true in ray 2.49; join finalize emits
@@ -284,10 +292,13 @@ def finalize_store(store_root: str, out_path: str) -> None:
     # net".
     import ray
 
-    n_out = ray.data.read_parquet(out_path).count()
+    n_out = ray.data.read_parquet(building).count()
     if n_out != n_urls:
+        shutil.rmtree(building, ignore_errors=True)
         raise RuntimeError(
             f"finalize_store invariant violated: {n_out} rows written for "
             f"{n_urls} urls — Ray's join no longer co-locates key copies "
             "per block; the per-block dedup in norm() needs a keyed shuffle"
         )
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.replace(building, out_path)

@@ -51,6 +51,18 @@ def _url_hash64(u: str) -> int:
     return int(_url_hash_batch([u])[0])
 
 
+# pd.util.hash_array is an implementation detail of pandas, not a stable
+# contract. Two distinct skew risks are guarded by hashing this sentinel URL:
+#   - PERSISTED index vs current process (a pandas upgrade between runs) —
+#     load_corpus_ref stores the sentinel hash in the npz and rebuilds on
+#     mismatch;
+#   - DRIVER (index build) vs WORKER (lookup) within one run (a real cluster
+#     with version-skewed nodes) — the sentinel hash ships inside the
+#     broadcast payload and _CorpusIndex re-derives it per worker, so skew
+#     fails loudly instead of silently resolving every url as a miss.
+_SENTINEL_URL = "spider-ray-hash-sentinel-v2"
+
+
 class _CorpusIndex:
     """url → row lookup over the broadcast corpus, SHARED via the object
     store: the driver ships ``(table, sorted_hashes, row_indices)`` where
@@ -64,7 +76,18 @@ class _CorpusIndex:
     back to probing the equal-hash run)."""
 
     def __init__(self, payload):
-        tbl, self._hashes, self._rows = payload
+        tbl, self._hashes, self._rows, *rest = payload
+        if rest:
+            # broadcast sentinel (see _SENTINEL_URL): this process's hash
+            # function must reproduce the index builder's values, or every
+            # lookup would silently miss
+            here = _url_hash_batch([_SENTINEL_URL])[0]
+            if here != rest[0]:
+                raise RuntimeError(
+                    "url-hash implementation skew between the index builder "
+                    f"and this worker (sentinel {rest[0]} != {here}) — "
+                    "pandas version mismatch across the cluster?"
+                )
         self._urls = tbl.column("url")
         self._html = tbl.column("html")
         self._chunk_offsets = np.cumsum(
@@ -339,8 +362,10 @@ def load_corpus_ref(corpus_path: str):
     # produces the same values the builder's did — pandas' hash_array is an
     # implementation detail, not a stable contract, so the npz carries a
     # sentinel hash and a mismatch (e.g. a pandas upgrade) forces an index
-    # rebuild instead of silently missing every lookup.
-    sentinel = _url_hash_batch(["spider-ray-hash-sentinel-v2"])[0]
+    # rebuild instead of silently missing every lookup. The same sentinel
+    # also rides the broadcast payload so RUNTIME driver/worker skew fails
+    # loudly too (see _CorpusIndex.__init__).
+    sentinel = _url_hash_batch([_SENTINEL_URL])[0]
 
     def _build_index(tbl):
         urls = tbl.column("url").to_pylist()
@@ -381,7 +406,7 @@ def load_corpus_ref(corpus_path: str):
             # mmapped table — seconds, vs minutes for a full re-read
             h_sorted, order = _build_index(tbl)
             _save_index(h_sorted, order)
-        ref = ray.put((tbl, h_sorted, order))
+        ref = ray.put((tbl, h_sorted, order, sentinel))
         _REF_CACHE[key] = ref
         return ref
 
@@ -427,6 +452,6 @@ def load_corpus_ref(corpus_path: str):
         except OSError:
             pass
         _save_index(h_sorted, order)
-    ref = ray.put((tbl, h_sorted, order))
+    ref = ray.put((tbl, h_sorted, order, sentinel))
     _REF_CACHE[key] = ref
     return ref

@@ -320,7 +320,7 @@ def test_corpus_index_rebuilds_on_hash_sentinel_mismatch(corpus_dir):
     ref2 = F.load_corpus_ref(corpus_dir)
     import ray
 
-    tbl, h, o = ray.get(ref2)
+    tbl, h, o, *_ = ray.get(ref2)
     # rebuilt index resolves a real corpus url
     idx = F._CorpusIndex((tbl, h, o))
     url = tbl.column("url")[0].as_py()
@@ -339,6 +339,24 @@ def test_corpus_index_rebuilds_on_hash_sentinel_mismatch(corpus_dir):
     # and the npz was re-persisted with the CORRECT sentinel
     d2 = np.load(idxs[0])
     assert d2["s"][0] != np.uint64(123)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_index_rejects_runtime_hash_skew(corpus_dir):
+    """The broadcast payload carries the builder's sentinel hash; a worker
+    whose hash implementation disagrees must fail LOUDLY in __init__
+    instead of silently resolving every url as a miss."""
+    import numpy as np
+
+    import ray
+    import spider_ray.stages.fetch as F
+
+    tbl, h, o, sentinel = ray.get(F.load_corpus_ref(corpus_dir))
+    # matching sentinel: constructs fine
+    F._CorpusIndex((tbl, h, o, sentinel))
+    # skewed sentinel (a different hash implementation): loud failure
+    with pytest.raises(RuntimeError, match="hash implementation skew"):
+        F._CorpusIndex((tbl, h, o, np.uint64(int(sentinel) ^ 1)))
 
 
 @pytest.mark.usefixtures("ray_session")
