@@ -169,6 +169,36 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
     return minhash_from_hashes(_shingle_hashes(text, n))
 
 
+def sketch_views(col: pa.ChunkedArray) -> list[np.ndarray]:
+    """Per-row uint64 views over a (large_)binary sketch column, decoded at
+    the BUFFER level: one offsets read + one ``np.frombuffer`` per CHUNK
+    over the concatenated sketch bytes, instead of one ``as_py()`` (a bytes
+    copy + interpreter call) per row. The returned arrays are zero-copy
+    views into the Arrow buffers — same offsets/width discipline as
+    ``minhash_batch``, factored for consumers that need per-row arrays
+    (the pair verify) rather than a segmented reduction."""
+    views: list[np.ndarray] = []
+    for chunk in col.chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        off_dtype = np.int64 if pa.types.is_large_binary(chunk.type) else np.int32
+        offsets = np.frombuffer(chunk.buffers()[1], dtype=off_dtype)[
+            chunk.offset : chunk.offset + n + 1
+        ].astype(np.int64)
+        data_buf = chunk.buffers()[2]
+        vals = (
+            # count= guards against Arrow's 64-byte buffer padding (always
+            # 8-divisible in practice, but don't rely on it)
+            np.frombuffer(data_buf, dtype=np.uint64, count=len(data_buf) // 8)
+            if data_buf is not None
+            else np.empty(0, dtype=np.uint64)
+        )
+        starts = offsets // 8
+        views.extend(vals[starts[i] : starts[i + 1]] for i in range(n))
+    return views
+
+
 def band_keys(sig: np.ndarray) -> list[bytes]:
     return [sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND].tobytes() for b in range(_BANDS)]
 
@@ -450,26 +480,26 @@ def minhash_lsh_pairs(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_i, out_u = [], [], [], []
-        da = batch.column("doc_a").to_pylist()
-        db = batch.column("doc_b").to_pylist()
-        sa_col, sb_col = batch.column("sh_a"), batch.column("sh_b")
-        for i in range(batch.num_rows):
-            sa = np.frombuffer(sa_col[i].as_py(), dtype=np.uint64)
-            sb = np.frombuffer(sb_col[i].as_py(), dtype=np.uint64)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            if union and inter * 100 >= pct * union:
-                out_a.append(da[i])
-                out_b.append(db[i])
-                out_i.append(inter)
-                out_u.append(union)
+        # sketch decode is ONE buffer-level pass per batch (sketch_views);
+        # the per-pair np.intersect1d over the two sorted-unique views IS
+        # the exact-Jaccard verify contract and stays
+        n = batch.num_rows
+        sa_views = sketch_views(batch.column("sh_a"))
+        sb_views = sketch_views(batch.column("sh_b"))
+        inter = np.zeros(n, dtype=np.int64)
+        union = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            sa, sb = sa_views[i], sb_views[i]
+            inter[i] = np.intersect1d(sa, sb, assume_unique=True).size
+            union[i] = sa.size + sb.size - inter[i]
+        keep = (union > 0) & (inter * 100 >= pct * union)
+        kidx = pa.array(np.flatnonzero(keep))
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "n_inter": pa.array(out_i, pa.int64()),
-                "n_union": pa.array(out_u, pa.int64()),
+                "doc_a": batch.column("doc_a").take(kidx),
+                "doc_b": batch.column("doc_b").take(kidx),
+                "n_inter": pa.array(inter[keep]),
+                "n_union": pa.array(union[keep]),
             }
         )
 

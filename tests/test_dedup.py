@@ -84,6 +84,39 @@ def test_minhash_signature_deterministic_and_similar():
     assert sim_near > 0.5 > sim_other  # minhash agreement ≈ jaccard
 
 
+def test_sketch_views_matches_per_row_decode():
+    """Buffer-level sketch decode must equal the per-row as_py()+frombuffer
+    it replaced — across multiple chunks, a SLICED chunk (nonzero
+    chunk.offset), an empty row, and both int32 (binary) and int64
+    (large_binary) offset widths."""
+    import pyarrow as pa
+
+    from spider_ray.pipelines.dedup import sketch_views
+
+    rows = [
+        np.array([1, 5, 9], dtype=np.uint64),
+        np.array([], dtype=np.uint64),
+        np.arange(100, dtype=np.uint64),
+        np.array([2**63 + 7], dtype=np.uint64),
+        np.array([3, 4], dtype=np.uint64),
+    ]
+    payload = [r.tobytes() for r in rows]
+    for typ in (pa.binary(), pa.large_binary()):
+        full = pa.chunked_array(
+            [pa.array(payload[:2], typ), pa.array(payload[2:], typ)]
+        )
+        got = sketch_views(full)
+        assert len(got) == len(rows)
+        for g, want in zip(got, rows):
+            assert g.dtype == np.uint64 and np.array_equal(g, want)
+        # sliced chunk: offsets window must respect chunk.offset
+        sliced = pa.chunked_array([pa.array(payload, typ).slice(1, 3)])
+        got_s = sketch_views(sliced)
+        assert len(got_s) == 3
+        for g, want in zip(got_s, rows[1:4]):
+            assert np.array_equal(g, want)
+
+
 def test_simhash_hamming_properties():
     from spider_ray.pipelines.dedup import simhash64
 
