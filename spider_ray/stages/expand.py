@@ -59,17 +59,22 @@ COUNTS_SCHEMA = pa.schema([("crawled", pa.int64()), ("candidates", pa.int64())])
 
 
 def _robots_keep(urls: list[str], keys: list[int], rules) -> tuple[list[str], list[int]]:
-    """Inline robots gate over canonical candidate urls. Delegates to the
-    oracle's ``robots_allows`` — ONE rule implementation shared by engine
-    and spec, so they cannot drift."""
-    from spider_ray.oracle import robots_allows
+    """Inline robots gate over canonical candidate urls — the VECTORIZED
+    batch form of the oracle's ``robots_allows`` (robots.robots_keep_mask,
+    pinned equal to the oracle rule on randomized rules), so the per-link
+    hot path pays arrow kernels, not one interpreter call per candidate."""
+    from spider_ray.robots import robots_keep_mask
 
-    ku, kk = [], []
-    for u, k in zip(urls, keys):
-        if robots_allows(u, rules):
-            ku.append(u)
-            kk.append(k)
-    return ku, kk
+    if not urls:
+        return urls, keys
+    mask = robots_keep_mask(pa.array(urls, pa.string()), rules)
+    if mask.all():
+        return urls, keys
+    idx = np.flatnonzero(mask)
+    return (
+        [urls[i] for i in idx],
+        np.asarray(keys, dtype=np.int64)[idx].tolist(),
+    )
 
 
 def make_parse_store_expand(
@@ -207,14 +212,15 @@ def make_robots_filter(rules: dict[str, list[str]]):
     The rules table is a closure constant — broadcast once with the function
     object, never re-shipped per batch (it is a small per-host table even at
     web scale; a 10^8-host rule set would move to a ``ray.put`` handle).
-    Delegates to the oracle's ``robots_allows`` so the spec cannot drift."""
-    from spider_ray.oracle import robots_allows
+    Uses the vectorized batch form of the oracle's ``robots_allows``
+    (robots.robots_keep_mask, equality-pinned) — no per-row Python."""
+    from spider_ray.robots import robots_keep_mask
 
     def robots_filter(batch: pa.Table) -> pa.Table:
         if not rules or batch.num_rows == 0:
             return batch
-        keep = [robots_allows(u, rules) for u in batch.column("url").to_pylist()]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        keep = robots_keep_mask(batch.column("url"), rules)
+        return batch.filter(pa.array(keep))
 
     return robots_filter
 

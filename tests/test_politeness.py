@@ -132,3 +132,65 @@ def test_no_throttled_host_in_frontier_early_returns():
     fetch_now, deferred = politeness_split(pending, None, {"absent.example": 2})
     assert deferred is None
     assert fetch_now.count() == 2
+
+
+def test_robots_keep_mask_equals_oracle_randomized():
+    """robots_keep_mask is the vectorized batch form of the oracle rule —
+    pin elementwise equality on randomized rules × adversarial url shapes
+    (the fast path AND every fallback class: no scheme, userinfo, port,
+    IPv6, control whitespace, empty path, query/fragment, case)."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from spider_ray.oracle import robots_allows
+    from spider_ray.robots import robots_keep_mask
+
+    rng = random.Random(1234)
+    hosts = [f"h{i}.example" for i in range(6)] + ["odd.example"]
+    prefix_pool = ["", "/", "/p", "/p1", "/docs/a", "/q?"]
+
+    fixed_urls = [
+        "https://h0.example/p1",            # canonical fast path
+        "https://H0.EXAMPLE/p1",            # upper-case host
+        "https://h1.example",               # empty path → "/"
+        "https://h1.example/",              # explicit root
+        "https://h2.example/p1?x=1",        # query excluded from path
+        "https://h2.example/p1#frag",       # fragment excluded from path
+        "https://user@h3.example/p1",       # userinfo → fallback
+        "https://h3.example:8080/p1",       # port → fallback
+        "https://[::1]/p1",                 # IPv6 → fallback
+        "h4.example/p1",                    # no scheme → fallback
+        "ftp://h4.example/p1",              # non-http scheme, still parsed
+        "https://h5.example/\tp1",          # control char → fallback
+        " https://h5.example/p1",           # leading space → fallback
+        "https://odd.example/p1x",          # prefix boundary
+        "",                                 # empty string
+    ]
+
+    for trial in range(20):
+        rules = {
+            h: rng.sample(prefix_pool, rng.randint(1, 3))
+            for h in rng.sample(hosts, rng.randint(0, len(hosts)))
+        }
+        urls = list(fixed_urls)
+        for _ in range(60):
+            h = rng.choice(hosts)
+            p = rng.choice(["/p1", "/p12", "/docs/a/b", "/x", "", "/p?q=1"])
+            urls.append(f"https://{h}{p}")
+        rng.shuffle(urls)
+        want = np.array([robots_allows(u, rules) for u in urls])
+        got = robots_keep_mask(pa.array(urls, pa.string()), rules)
+        assert (got == want).all(), (
+            trial,
+            rules,
+            [u for u, g, w in zip(urls, got, want) if g != w],
+        )
+        # chunked input path (map_batches hands ChunkedArrays)
+        ca = pa.chunked_array([urls[: len(urls) // 2], urls[len(urls) // 2 :]])
+        assert (robots_keep_mask(ca, rules) == want).all()
+
+    # no-rules identity
+    assert robots_keep_mask(pa.array(fixed_urls), {}).all()
+    assert robots_keep_mask(pa.array(fixed_urls), None).all()
