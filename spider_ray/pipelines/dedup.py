@@ -506,23 +506,10 @@ def minhash_lsh_pairs(
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
-def minhash_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.8) -> pa.Table:
-    """Near-dup CLUSTER assignment — the step after pair generation that a
-    dedup pipeline actually consumes: ``(doc_id, rep_id)`` for every doc in
-    at least one J ≥ threshold pair, where ``rep_id`` is the minimum doc_id
-    of the doc's connected component in the pair graph (the canonical
-    "keep the representative, drop the rest" rule).
-
-    Scale shape: the pair set is ANSWER-sized (the LSH+verify output the
-    caller would collect anyway), so the union-find runs driver-side over
-    it — O(pairs·α), with the root kept at the component minimum by always
-    attaching the larger root under the smaller. A dup graph too large for
-    one driver would switch to iterative min-label propagation (label =
-    min(neighbor labels) via the attach_payload join, repeated to
-    fixpoint) — that seam is this function; the quadratic-contract caveat
-    on degenerate boilerplate clusters is the same one minhash_lsh_pairs
-    documents."""
-    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold).to_pandas()
+def _clusters_union_find(pairs: pd.DataFrame) -> pa.Table:
+    """Driver-side connected components over an (answer-sized) pair set:
+    union-find with path halving, root kept at the component minimum by
+    always attaching the larger root under the smaller — O(pairs·α)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -544,6 +531,179 @@ def minhash_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.8) -> pa.Ta
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "rep_id": pa.array(reps, pa.int64())}
     )
+
+
+def _clusters_label_propagation(
+    pairs: Dataset, num_shards: int | None = None, max_iters: int = 10_000
+) -> pa.Table:
+    """DISTRIBUTED connected components by iterative min-label propagation —
+    the branch for dup graphs too large for one driver's union-find
+    (degenerate boilerplate corpora where the pair set itself is huge).
+
+    Shape: edges are symmetrized ONCE and materialized (src, dst — two
+    int64s per direction); labels start as (node, lbl=node). Each iteration
+    is label(v) ← min(label(v), min over neighbors u of label(u)), as pure
+    Dataset ops: one task-based shard groupby merges labels onto edges by
+    src (the attach_payload pattern with an int payload), the propagated
+    (dst, lbl) rows union with the current labels, and one
+    ``groupby(node).min(lbl)`` produces the next labels. Fixpoint ⇔ the
+    exact label sum is unchanged (labels are elementwise monotone
+    non-increasing; per-block int64 partials summed as Python ints, so no
+    overflow at any id scale). Converges in ≤ graph-diameter iterations —
+    near-dup clusters are dense (diameter rarely exceeds a handful), so the
+    iteration count stays small exactly when this branch is needed.
+
+    Everything that moves is (int64, int64) rows; no driver state grows
+    with the graph. The returned table is the same answer-sized
+    (doc_id, rep_id) assignment the union-find produces (pinned equal in
+    tests); a caller at the 10^10 tier would write it to parquet instead of
+    holding it."""
+    from ray.data.aggregate import Min as AggMin
+
+    if num_shards is None:
+        from spider_ray.blockutil import default_join_partitions
+
+        num_shards = default_join_partitions()
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy()
+        bb = b.column("doc_b").to_numpy()
+        src = np.concatenate([a, bb])
+        dst = np.concatenate([bb, a])
+        shard = (pd.util.hash_array(src) % num_shards).astype(np.int64)
+        return pa.table(
+            {
+                "_s": pa.array(shard),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    from spider_ray.blockutil import drop_empty_blocks
+
+    edges = drop_empty_blocks(
+        pairs.map_batches(symmetrize, batch_format="pyarrow"),
+        pa.schema([("_s", pa.int64()), ("src", pa.int64()), ("dst", pa.int64())]),
+    )
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        nodes = np.unique(b.column("src").to_numpy())  # per-block dedup only
+        return pa.table({"node": pa.array(nodes, pa.int64()), "lbl": pa.array(nodes, pa.int64())})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(AggMin("lbl", alias_name="lbl"))
+        .materialize()
+    )
+
+    def label_sum(lds: Dataset) -> int:
+        # exact at any id scale: int64 per-block partials (≤ ~8M rows/block
+        # × 2^40-ish ids stays far under 2^63), summed as Python ints
+        parts = lds.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([int(pc.sum(b.column("lbl")).as_py() or 0)], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        return sum(r["s"] for r in parts.take_all())
+
+    # attach: tag both sides, one shard groupby, vectorized pandas merge per
+    # shard (edges carry a precomputed _s; labels hash the same way)
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["node"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(k) % num_shards).astype(np.int64),
+                "_t": np.zeros(len(k), dtype=np.int8),
+                "src": k,
+                "dst": np.full(len(k), -1, dtype=np.int64),
+                "lbl": b["lbl"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_s": b["_s"].to_numpy().astype(np.int64),
+                "_t": np.ones(len(b), dtype=np.int8),
+                "src": b["src"].to_numpy().astype(np.int64),
+                "dst": b["dst"].to_numpy().astype(np.int64),
+                "lbl": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # emits BOTH the propagated (dst, lbl-of-src) rows and the current
+        # label rows themselves — the old labels are already in this tagged
+        # stream, so re-emitting them here replaces a separate
+        # cand.union(labels) (which would mix this stage's pandas blocks
+        # with the aggregate's Arrow blocks — ray 2.49's sort sampling
+        # asserts one block type per input — and cost an extra exchange)
+        is_lbl = g["_t"].to_numpy() == 0
+        lab = g.loc[is_lbl, ["src", "lbl"]]
+        e = g.loc[~is_lbl, ["src", "dst"]]
+        out = e.merge(lab, on="src", how="inner")
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [out["dst"].to_numpy(np.int64), lab["src"].to_numpy(np.int64)]
+                ),
+                "lbl": np.concatenate(
+                    [out["lbl"].to_numpy(np.int64), lab["lbl"].to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    cur_sum = label_sum(labels)
+    for _ in range(max_iters):
+        tagged = edges.map_batches(tag_edges, batch_format="pandas").union(
+            labels.map_batches(tag_labels, batch_format="pandas")
+        )
+        cand = tagged.groupby("_s").map_groups(merge, batch_format="pandas")
+        labels = (
+            cand.groupby("node")
+            .aggregate(AggMin("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        new_sum = label_sum(labels)
+        if new_sum == cur_sum:  # elementwise monotone ⇒ equal sum = fixpoint
+            break
+        cur_sum = new_sum
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} iters")
+    out = labels.to_pandas().sort_values("node")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+            "rep_id": pa.array(out["lbl"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def minhash_dedup_clusters(
+    sf_dir: str,
+    jaccard_threshold: float = 0.8,
+    driver_pair_limit: int = 5_000_000,
+) -> pa.Table:
+    """Near-dup CLUSTER assignment — the step after pair generation that a
+    dedup pipeline actually consumes: ``(doc_id, rep_id)`` for every doc in
+    at least one J ≥ threshold pair, where ``rep_id`` is the minimum doc_id
+    of the doc's connected component in the pair graph (the canonical
+    "keep the representative, drop the rest" rule).
+
+    Scale shape: the pair set is ANSWER-sized (the LSH+verify output the
+    caller would collect anyway), so up to ``driver_pair_limit`` pairs the
+    union-find runs driver-side — O(pairs·α). Beyond the gate (a degenerate
+    boilerplate corpus whose quadratic buckets make the pair set itself
+    huge) the distributed min-label-propagation branch takes over instead
+    of letting the driver thrash — see _clusters_label_propagation. The two
+    branches are pinned equal in tests (gate forced to 0)."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold).materialize()
+    if pairs.count() <= driver_pair_limit:
+        return _clusters_union_find(pairs.to_pandas())
+    return _clusters_label_propagation(pairs.select_columns(["doc_a", "doc_b"]))
 
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)

@@ -308,6 +308,72 @@ def test_minhash_dedup_clusters_transitive_chain(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cluster_branches_equal_on_planted_graph():
+    """The distributed min-label-propagation branch must equal the driver
+    union-find on a planted multi-component graph that exceeds the gate:
+    a chain (propagation takes diameter iterations), a star, a triangle
+    with a redundant edge, and an isolated pair."""
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.pipelines.dedup import (
+        _clusters_label_propagation,
+        _clusters_union_find,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10, 19)]          # chain 10..19 → rep 10
+        + [(100, x) for x in (101, 102, 103)]        # star → rep 100
+        + [(200, 201), (201, 202), (200, 202)]       # triangle + redundant
+        + [(300, 301)]                               # isolated pair
+    )
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    want = _clusters_union_find(tbl.to_pandas()).to_pandas()
+    got = _clusters_label_propagation(
+        ray.data.from_arrow(tbl), num_shards=3
+    ).to_pandas()
+    assert got.equals(want)
+    assert set(got[got.doc_id >= 10][got.doc_id < 20]["rep_id"]) == {10}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_clusters_gate_forced_low(tmp_path):
+    """Forcing driver_pair_limit=0 (every pair set 'too large') must route
+    through label propagation and produce the identical cluster table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.dedup import minhash_dedup_clusters
+
+    words = [f"w{i:03d}" for i in range(120)]
+    texts = [
+        " ".join(words[0:100]),
+        " ".join(words[10:110]),
+        " ".join(words[20:120]),
+        " ".join(words[0:100]),  # byte dup of doc 0
+        "completely unrelated text about nothing shared at all here",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    base = minhash_dedup_clusters(str(tmp_path)).to_pandas()
+    forced = minhash_dedup_clusters(str(tmp_path), driver_pair_limit=0).to_pandas()
+    assert forced.equals(base)
+    assert dict(zip(base["doc_id"], base["rep_id"])) == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_pairs_two_level_merge_equal(monkeypatch):
     """Pipeline-level pin for final_merge's threshold guard: forcing the
     intermediate repartition(cpus) merge level must not change the
