@@ -27,6 +27,12 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# physical-strategy knobs so alternate paths get MEASURED rows in
+# BASELINE.md, not just correctness tests: the pruned-read fetch
+# (GRAFT_FETCH_MODE=partitioned — the >object-store corpus path) and the
+# bloom seen shards (GRAFT_SEEN_MODE=bloom — the 10^9-url memory path)
+FETCH_MODE = os.environ.get("GRAFT_FETCH_MODE", "indexed")
+SEEN_MODE = os.environ.get("GRAFT_SEEN_MODE", "exact")
 
 # bench corpus shape: 64 hosts (host 0 hot), fan-out 8, prose-sized pages.
 # 30M pages/sf (3M at the driver's sf0.1) sizes the crawl so the per-round
@@ -39,7 +45,9 @@ CORPUS_LINKS = 10
 CORPUS_WORDS = 300
 CORPUS_PAGES_PER_SF = 30_000_000
 SEEDS = [f"https://h{k}.example/p0" for k in range(64)]
-CRAWL_DEPTH = 7  # exhausts ~3M of the 3M-page sf0.1 corpus in 8 rounds
+# exhausts ~3M of the 3M-page sf0.1 corpus in 8 rounds; override (e.g. 8)
+# for larger corpora so the crawl keeps exhausting them
+CRAWL_DEPTH = int(os.environ.get("GRAFT_CRAWL_DEPTH", "7"))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -81,14 +89,24 @@ def run_crawl(corpus: str, tag: str, reps: int = 3) -> dict:
 
     from spider_ray.stages.fetch import load_corpus_ref, prewarm_workers
 
-    ref = load_corpus_ref(corpus)
-    prewarm_workers(ref, int(ray.cluster_resources().get("CPU", 4)))
+    if FETCH_MODE.startswith("indexed"):
+        ref = load_corpus_ref(corpus)
+        prewarm_workers(ref, int(ray.cluster_resources().get("CPU", 4)))
     # seen shards scale WITH the cluster (SCALE.md: K ≈ nodes or a small
     # multiple) — a fixed shard count becomes the offer bottleneck once the
     # per-round candidate volume outgrows it
     n_shards = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    kw = dict(
+        max_depth=CRAWL_DEPTH,
+        seen_shards=n_shards,
+        fetch_mode=FETCH_MODE,
+        seen_mode=SEEN_MODE,
+        # sized for the 3M-url bench tier: ~100k urls/shard at 32 shards →
+        # fp ≈ (k·n/m)^k ≈ 1e-13 per probe at 2^27 bits (16 MiB/shard)
+        bloom_bits=1 << 27 if SEEN_MODE == "bloom" else 1 << 24,
+    )
     shutil.rmtree(out, ignore_errors=True)
-    crawl(corpus, SEEDS, out, max_depth=CRAWL_DEPTH, seen_shards=n_shards)  # warmup
+    crawl(corpus, SEEDS, out, **kw)  # warmup
     best = None
     for _ in range(reps):
         shutil.rmtree(out, ignore_errors=True)
@@ -96,7 +114,7 @@ def run_crawl(corpus: str, tag: str, reps: int = 3) -> dict:
         # the timing window — writeback from an earlier (or another
         # level's) run otherwise lands inside a later timed rep
         t0 = time.perf_counter()
-        res = crawl(corpus, SEEDS, out, max_depth=CRAWL_DEPTH, seen_shards=n_shards)
+        res = crawl(corpus, SEEDS, out, **kw)
         elapsed = time.perf_counter() - t0
         if best is None or elapsed < best[0]:
             best = (elapsed, res)
@@ -244,6 +262,10 @@ def main() -> None:
         "crawled": crawl_stats["crawled"],
         "rounds": crawl_stats["rounds"],
     }
+    if FETCH_MODE != "indexed":
+        out["fetch_mode"] = FETCH_MODE
+    if SEEN_MODE != "exact":
+        out["seen_mode"] = SEEN_MODE
     print(json.dumps(out))
     ray.shutdown()
 
@@ -280,7 +302,15 @@ def scaling() -> None:
         seq = 0
     with open(seqf, "w") as f:
         f.write(str(seq + 1))
-    order = (4, 16, 8, 32) if seq % 2 == 0 else (16, 4, 32, 8)
+    # GRAFT_SCALING_LEVELS trims the level set (e.g. "4,16" for a
+    # large-corpus datapoint where the discounted 8→32 pair isn't worth
+    # its wall-clock); the primary 4→16 pair is required
+    levels = tuple(
+        int(x)
+        for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16,8,32").split(",")
+    )
+    assert {4, 16} <= set(levels), "scaling needs the primary 4->16 pair"
+    order = levels if seq % 2 == 0 else tuple(reversed(levels))
 
     results = {}
     sentinels = {}
@@ -311,36 +341,41 @@ def scaling() -> None:
     def eff(lo, hi):
         return round((results[lo]["value"] / results[hi]["value"]) / (hi / lo), 3)
 
-    print(
-        json.dumps(
+    rec = {
+        "metric": "scaling_efficiency",
+        "primary_pair": "4->16",
+        "scaling_efficiency": eff(4, 16),
+        "sec_4": results[4]["value"],
+        "sec_16": results[16]["value"],
+        "pages_per_sec_4": results[4]["pages_per_sec"],
+        "pages_per_sec_16": results[16]["pages_per_sec"],
+        "frontier_ops_per_sec_4": results[4]["frontier_ops_per_sec"],
+        "frontier_ops_per_sec_16": results[16]["frontier_ops_per_sec"],
+    }
+    if 8 in results and 32 in results:
+        rec.update(
             {
-                "metric": "scaling_efficiency",
-                "primary_pair": "4->16",
-                "scaling_efficiency": eff(4, 16),
-                "sec_4": results[4]["value"],
-                "sec_16": results[16]["value"],
-                "pages_per_sec_4": results[4]["pages_per_sec"],
-                "pages_per_sec_16": results[16]["pages_per_sec"],
-                "frontier_ops_per_sec_4": results[4]["frontier_ops_per_sec"],
-                "frontier_ops_per_sec_16": results[16]["frontier_ops_per_sec"],
                 "secondary_pair": "8->32 (saturates host vCPU allocation)",
                 "scaling_efficiency_8_32": eff(8, 32),
                 "sec_8": results[8]["value"],
                 "sec_32": results[32]["value"],
                 "pages_per_sec_8": results[8]["pages_per_sec"],
                 "pages_per_sec_32": results[32]["pages_per_sec"],
-                "level_order": list(order),
-                "loadavg_before": {str(k): v for k, v in sentinels.items()},
-                "contaminated": any(
-                    v > LOAD_SENTINEL_MAX for v in sentinels.values()
-                ),
-                "sentinel_rule": (
-                    f"exclude run from median if any pre-level 1-min "
-                    f"loadavg > {LOAD_SENTINEL_MAX}"
-                ),
             }
         )
+    rec.update(
+        {
+            "crawled": results[16]["crawled"],
+            "level_order": list(order),
+            "loadavg_before": {str(k): v for k, v in sentinels.items()},
+            "contaminated": any(v > LOAD_SENTINEL_MAX for v in sentinels.values()),
+            "sentinel_rule": (
+                f"exclude run from median if any pre-level 1-min "
+                f"loadavg > {LOAD_SENTINEL_MAX}"
+            ),
+        }
     )
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

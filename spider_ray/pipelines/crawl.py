@@ -129,6 +129,10 @@ class CrawlConfig:
     small_checkpoint_rows: int = _SMALL_CHECKPOINT_ROWS
     max_rounds: int | None = None  # stop after N rounds this call (resume later)
     proxy: str | None = None  # validated eagerly (S2); a no-op in corpus mode
+    # opt-in: gather per-shard seen-state stats (items, structure bytes,
+    # actor RSS) at crawl end — an O(seen) pass per shard, so OFF by default
+    # to keep benched crawls pure
+    collect_shard_stats: bool = False
 
 
 @dataclass
@@ -139,6 +143,7 @@ class CrawlResult:
     crawled: int = 0
     seen_count: int = 0
     finished: bool = True
+    shard_stats: list[dict] = field(default_factory=list)
 
     @property
     def store_path(self) -> str:
@@ -802,6 +807,11 @@ def crawl(
         if ckpt_thread is not None:
             ckpt_thread.join_and_raise()
         seen_count = sum(ray.get([s.n_items.remote() for s in shards]))
+        shard_stats = (
+            ray.get([s.stats.remote() for s in shards])
+            if cfg.collect_shard_stats
+            else []
+        )
         LOG.info(
             "crawl_done rounds=%d crawled=%d total_calls=%d seen=%d finished=%s",
             len(metrics),
@@ -828,6 +838,7 @@ def crawl(
         crawled=crawled_cum,
         seen_count=seen_count,
         finished=pending_count == 0,
+        shard_stats=shard_stats,
     )
 
 

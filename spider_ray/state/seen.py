@@ -62,6 +62,13 @@ class ExactSeen:
     def __len__(self) -> int:
         return len(self._set)
 
+    def state_bytes(self) -> int:
+        """Approximate heap footprint of the seen structure (strings + set
+        table) — the number the 10^9-url-per-shard memory story is about."""
+        import sys
+
+        return sys.getsizeof(self._set) + sum(sys.getsizeof(u) for u in self._set)
+
     def dump_payload(self) -> bytes:
         return pickle.dumps(sorted(self._set), protocol=pickle.HIGHEST_PROTOCOL)
 
@@ -106,6 +113,9 @@ class BloomSeen:
 
     def __len__(self) -> int:
         return self._n
+
+    def state_bytes(self) -> int:
+        return int(self._arr.nbytes)
 
     def dump_payload(self) -> bytes:
         return pickle.dumps(
@@ -210,6 +220,11 @@ class CuckooSeen:
 
     def __len__(self) -> int:
         return self._n
+
+    def state_bytes(self) -> int:
+        import sys
+
+        return int(self._t.nbytes) + sum(sys.getsizeof(u) for u in self._overflow)
 
     def dump_payload(self) -> bytes:
         return pickle.dumps(
@@ -343,6 +358,27 @@ class UrlSeenShard:
 
     def n_items(self) -> int:
         return len(self._seen)
+
+    def stats(self) -> dict:
+        """Shard observability (the M9 metrics family, per-shard view):
+        item count, seen-structure heap bytes, and the actor process RSS —
+        the evidence row for the bloom-vs-exact memory story at the
+        10^9-urls-per-shard tier."""
+        rss = 0
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        rss = int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            pass
+        return {
+            "mode": self._seen.mode,
+            "n_items": len(self._seen),
+            "state_bytes": self._seen.state_bytes(),
+            "rss_bytes": rss,
+        }
 
     def dump(self) -> dict:
         """Round-BOUNDARY snapshot: the crawl only checkpoints between
