@@ -134,6 +134,10 @@ def run_crawl(corpus: str, tag: str, reps: int = 3) -> dict:
 QUERY_BENCH = [
     "q1_pricing_summary",
     "orders_by_segment",
+    "q3_shipping_priority",
+    "distinct_users_per_type",
+    "orders_without_lineitems",
+    "doc_length_quantiles",
     "events_hourly",
     "events_sliding",
     "top_events_per_type",

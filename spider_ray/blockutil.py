@@ -113,9 +113,14 @@ def final_merge(
                 refs.append(ref)
                 total += meta.num_rows
     if not refs:
-        base = ray.data.from_arrow(empty_schema.empty_table())
-    else:
-        base = ray.data.from_arrow_refs(refs)
+        # Return the empty table DIRECTLY — Ray Data prunes an empty
+        # dataset's block through any downstream op (repartition /
+        # map_batches both yield a zero-column result), so running the
+        # merge fn here would destroy the schema, not preserve it. fn is
+        # idempotent, so skipping it on zero rows is a no-op by contract;
+        # empty_schema must therefore be fn's OUTPUT schema.
+        return ray.data.from_arrow(empty_schema.empty_table())
+    base = ray.data.from_arrow_refs(refs)
     if total > threshold_rows:
         base = base.repartition(default_join_partitions()).map_batches(
             fn, batch_format=batch_format, batch_size=None

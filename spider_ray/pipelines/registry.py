@@ -71,6 +71,14 @@ QUERIES = {
     # relational / pipeline shapes
     "q1_pricing_summary": relational.q1_pricing_summary,
     "orders_by_segment": relational.orders_by_segment,
+    # large⋈large hash-shuffle join (orders⋈lineitem) + dimension broadcast
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    # exact distinct-count aggregate (per-user hash shards)
+    "distinct_users_per_type": relational.distinct_users_per_type,
+    # distributed anti-join over two fact tables
+    "orders_without_lineitems": relational.orders_without_lineitems,
+    # exact discrete quantiles via distributed value histogram
+    "doc_length_quantiles": relational.doc_length_quantiles,
     "events_hourly": relational.events_hourly,
     "events_sliding": relational.events_sliding,
     "top_events_per_type": relational.top_events_per_type,
@@ -150,6 +158,33 @@ ORACLE_SQL = {
         "SELECT c_mktsegment AS mktsegment, count(*) AS n_orders, "
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c "
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    ),
+    "q3_shipping_priority": (
+        "WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'), "
+        "o AS (SELECT o_orderkey, o_orderdate FROM orders JOIN c ON o_custkey = c_custkey "
+        "WHERE o_orderdate < TIMESTAMP '1998-01-01'), "
+        "l AS (SELECT l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)"
+        "*(100-CAST(round(l_discount*100) AS BIGINT)) AS r FROM lineitem "
+        "WHERE l_shipdate > TIMESTAMP '1998-01-01') "
+        "SELECT o.o_orderkey, CAST(sum(l.r) AS BIGINT) AS revenue_c4, o.o_orderdate "
+        "FROM o JOIN l ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderkey, o.o_orderdate "
+        "ORDER BY revenue_c4 DESC, o_orderkey LIMIT 10"
+    ),
+    "distinct_users_per_type": (
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY event_type"
+    ),
+    "orders_without_lineitems": (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"
+    ),
+    # index rule = value at 1-based rank ceil(q*n) (DuckDB quantile_disc;
+    # the engine reads q as an exact decimal — see doc_length_quantiles)
+    "doc_length_quantiles": (
+        "SELECT CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "
+        "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90, "
+        "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99 FROM documents"
     ),
     "events_hourly": (
         "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n "

@@ -388,6 +388,342 @@ def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
 
 
+def q3_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+    num_shards: int | None = None,
+) -> Dataset:
+    """TPC-H-Q3-shaped 3-table join: top-k orders of one market segment by
+    lineitem revenue either side of a date cutoff.
+
+    Physical plan (the missing shape in the query surface until now — a
+    LARGE ⋈ LARGE join as a first-class relational query, not just inside
+    the crawl's frontier⋈pages stage):
+
+    - customer is the dimension side: the driver reads only (custkey,
+      segment), filters to the segment, and broadcasts the matching keys as
+      ONE sorted int64 array via ``ray.put`` (the orders_by_segment
+      pattern; ~1.2 MB per 10^6 matching customers — broadcast stays sane
+      far past the test tier, and the seam to a shuffle semi-join is this
+      same tagged-union shape keyed on custkey).
+    - orders ⋈ lineitem (both fact tables) is a broadcast-free hash-shuffle
+      join in the attach_payload style: both sides are filtered AT THE SCAN
+      and tagged with ``_s = hash(orderkey) % P``; lineitem revenue is
+      PARTIAL-aggregated per batch before the shuffle, so the exchange
+      carries one row per (orderkey, block) on the big side, never one per
+      lineitem row.
+    - each shard does one vectorized reduce + searchsorted probe and emits
+      only its local top-k; the final merge sees ≤ k × P rows.
+
+    Dates cross the shuffle as int64 epoch-µs (see events_hourly) and are
+    cast back to timestamp[us] at the very end. Revenue uses the q1
+    integer contract: ``revenue_c4 = Σ cents(extprice) × (100 −
+    cents(discount))`` so partial sums match DuckDB bit-exactly."""
+    from spider_ray.blockutil import default_join_partitions, final_merge
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    cut_us = np.int64(np.datetime64(cutoff, "us").astype(np.int64))
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust.column("c_mktsegment"), segment)).column(
+        "c_custkey"
+    )
+    ck_ref = ray.put(np.sort(keys.to_numpy().astype(np.int64)))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_side(b: pa.Table) -> pd.DataFrame:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        cks = get_broadcast(ck_ref)  # sorted custkeys, deserialized once/worker
+        key = b.column("o_orderkey").to_numpy()
+        cu = b.column("o_custkey").to_numpy()
+        dt = b.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = dt < cut_us
+        if len(cks):
+            pos = np.minimum(np.searchsorted(cks, cu), len(cks) - 1)
+            keep &= cks[pos] == cu
+        else:
+            keep &= False
+        key, dt = key[keep], dt[keep]
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
+                "_t": np.zeros(len(key), dtype=np.int8),
+                "o_orderkey": key,
+                "o_orderdate": dt,
+                "revenue_c4": np.zeros(len(key), dtype=np.int64),
+            }
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def line_side(b: pa.Table) -> pd.DataFrame:
+        sd = b.column("l_shipdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = sd > cut_us
+        key = b.column("l_orderkey").to_numpy()[keep]
+        rev = _cents(b.column("l_extendedprice").to_numpy()[keep]) * (
+            100 - _cents(b.column("l_discount").to_numpy()[keep])
+        )
+        if len(key):  # per-batch PARTIAL sum per orderkey — combiner pattern
+            order = np.argsort(key, kind="stable")
+            key, rev = key[order], rev[order]
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            key, rev = key[starts], np.add.reduceat(rev, starts)
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
+                "_t": np.ones(len(key), dtype=np.int8),
+                "o_orderkey": key,
+                "o_orderdate": np.zeros(len(key), dtype=np.int64),
+                "revenue_c4": rev,
+            }
+        )
+
+    tagged = orders.map_batches(orders_side, batch_format="pyarrow").union(
+        line.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["revenue_c4", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        # merge fn for final_merge: top-k + the int64-µs → datetime cast
+        # (idempotent — the cast is skipped when a prior level already did
+        # it; doing it here instead of a trailing map_batches keeps the
+        # schema on EMPTY results, which map_batches would never visit)
+        b = local_topk(b)
+        if b["o_orderdate"].dtype == np.int64:
+            b = b.assign(
+                o_orderdate=b["o_orderdate"].to_numpy().astype("datetime64[us]")
+            )
+        return b
+
+    def shard_merge(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["_t"].to_numpy()
+        o, li = g.loc[t == 0], g.loc[t == 1]
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": np.array([], dtype=np.int64),
+                "revenue_c4": np.array([], dtype=np.int64),
+                "o_orderdate": np.array([], dtype=np.int64),
+            }
+        )
+        if not len(o) or not len(li):
+            return empty
+        lk = li["o_orderkey"].to_numpy()
+        lr = li["revenue_c4"].to_numpy()
+        order = np.argsort(lk, kind="stable")
+        lk, lr = lk[order], lr[order]
+        starts = np.flatnonzero(np.r_[True, lk[1:] != lk[:-1]])
+        uk, ur = lk[starts], np.add.reduceat(lr, starts)
+        ok = o["o_orderkey"].to_numpy()
+        od = o["o_orderdate"].to_numpy()
+        oo = np.argsort(ok, kind="stable")
+        ok, od = ok[oo], od[oo]
+        pos = np.minimum(np.searchsorted(ok, uk), len(ok) - 1)
+        hit = ok[pos] == uk  # inner join: orderkey unique on the orders side
+        out = pd.DataFrame(
+            {
+                "o_orderkey": uk[hit],
+                "revenue_c4": ur[hit],
+                "o_orderdate": np.take(od, pos[hit]),
+            }
+        )
+        return topk(out)  # ≤ k rows leave each shard
+
+    merged = tagged.groupby("_s").map_groups(shard_merge, batch_format="pandas")
+    # the µs→timestamp cast lives inside ``topk`` (idempotently), so this
+    # schema is the FINAL one — final_merge returns it as-is on the empty
+    # path (a trailing cast map_batches would drop an empty result's schema)
+    return final_merge(
+        merged,
+        topk,
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("revenue_c4", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+
+def distinct_users_per_type(sf_dir: str, num_shards: int | None = None) -> Dataset:
+    """Exact COUNT(DISTINCT user_id) per event_type.
+
+    Physical shape: per-batch local distinct of (event_type, user_id) via a
+    keys-only Arrow group_by (vectorized, shrinks repeats before anything
+    moves), then ONE int-key sort shuffle on ``hash(user_id) % P`` — every
+    user lands in exactly one shard, so a per-shard distinct + count is
+    globally exact — then a metadata-sized groupby sums the P partial
+    counts per type. The exchange carries the locally-distinct pairs only;
+    that is the irreducible cost of an EXACT distinct (the approximate
+    alternative at unbounded user cardinality is an HLL sketch, which this
+    engine would slot into the same combiner shape)."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_distinct(b: pa.Table) -> pd.DataFrame:
+        g = b.group_by(["event_type", "user_id"]).aggregate([])
+        uid = g.column("user_id").to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(uid) % num_shards).astype(np.int64),
+                "event_type": g.column("event_type").to_pandas().to_numpy(),
+                "user_id": uid,
+            }
+        )
+
+    part = ds.map_batches(local_distinct, batch_format="pyarrow")
+
+    def shard_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["event_type", "user_id"])
+        c = d.groupby("event_type", sort=False).size()
+        return pd.DataFrame(
+            {
+                "event_type": c.index.to_numpy(dtype=object),
+                "n_users": c.to_numpy().astype(np.int64),
+            }
+        )
+
+    partials = part.groupby("_s").map_groups(shard_count, batch_format="pandas")
+    return partials.groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def orders_without_lineitems(sf_dir: str, num_shards: int | None = None) -> Dataset:
+    """Anti-join as a first-class relational query: orders with NO lineitem
+    rows (the same distributed anti-join shape the seen-state refill uses,
+    seen.py — here exposed over the driver tables with a SQL oracle).
+
+    Physical shape: tagged union hash-partitioned on ``hash(o_orderkey) %
+    P`` (the attach_payload pattern); the lineitem side is reduced to
+    per-batch UNIQUE orderkeys before the shuffle, so the exchange carries
+    O(distinct keys per block), not O(lineitem rows); each shard then does
+    one vectorized searchsorted membership test. No broadcast: both sides
+    may be fact-table-sized."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["o_orderkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
+                "_t": np.zeros(len(key), dtype=np.int8),
+                "o_orderkey": key,
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            }
+        )
+
+    def l_side(b: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(b["l_orderkey"].to_numpy())  # per-batch combiner
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
+                "_t": np.ones(len(key), dtype=np.int8),
+                "o_orderkey": key,
+                "o_orderpriority": np.full(len(key), "", dtype=object),
+            }
+        )
+
+    tagged = orders.map_batches(o_side, batch_format="pandas").union(
+        line.map_batches(l_side, batch_format="pandas")
+    )
+
+    def shard_anti(g: pd.DataFrame) -> pa.Table:
+        # Arrow out with a pinned schema: an EMPTY pandas block with an
+        # object column would make Ray's size estimator guess (stderr
+        # noise) and could let the string type drift across shards.
+        t = g["_t"].to_numpy()
+        o = g.loc[t == 0]
+        lk = np.unique(g.loc[t == 1, "o_orderkey"].to_numpy())
+        ok = o["o_orderkey"].to_numpy()
+        if len(lk):
+            pos = np.minimum(np.searchsorted(lk, ok), len(lk) - 1)
+            miss = lk[pos] != ok
+        else:
+            miss = np.ones(len(ok), dtype=bool)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[miss], pa.int64()),
+                "o_orderpriority": pa.array(
+                    o["o_orderpriority"].to_numpy()[miss], pa.string()
+                ),
+            }
+        )
+
+    return tagged.groupby("_s").map_groups(shard_anti, batch_format="pandas")
+
+
+def doc_length_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> pa.Table:
+    """Exact discrete quantiles of documents.n_chars via a distributed
+    value histogram: per-batch value counts (combiner), one int-key groupby
+    whose output is DISTINCT-VALUE-sized (not row-sized), then an
+    answer-sized driver cumsum picks the quantile values.
+
+    Contract: exact for bounded-cardinality numeric columns (lengths,
+    scores, small ints) — the shuffle and the driver step are both
+    O(distinct values), independent of row count, so this holds at 10^11
+    rows as long as the value domain stays bounded (doc lengths do). For
+    unbounded domains the same shape degrades gracefully to fixed-width
+    bins (approximate) or a t-digest; neither is needed for the surface
+    this query serves.
+
+    Index rule pinned to DuckDB's ``quantile_disc``: the value at 1-based
+    rank ``ceil(q·n)`` of the sorted column, with q read as an exact
+    decimal (Fraction(str(q)) — float64 ``0.9*10`` rounds UP to rank 10
+    where DuckDB returns rank 9; tests/test_relational_extras.py pins the
+    adversarial cases)."""
+    import math
+    from fractions import Fraction
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        t = b.append_column("n", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        g = t.group_by("n_chars").aggregate([("n", "sum")])
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table({"n_chars": g.column("n_chars"), "n": g.column("n_sum")})
+
+    hist = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .groupby("n_chars")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # distinct-value-sized, never row-sized
+    )
+    names = [f"p{round(q * 100)}" for q in qs]
+    if not len(hist):
+        return pa.table({nm: pa.array([None], pa.int64()) for nm in names})
+    v = hist["n_chars"].to_numpy()
+    c = hist["n"].to_numpy()
+    order = np.argsort(v)
+    v, cum = v[order], np.cumsum(c[order])
+    total = int(cum[-1])
+    out = {}
+    for nm, q in zip(names, qs):
+        rank = max(1, math.ceil(Fraction(str(q)) * total))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out[nm] = int(v[min(idx, len(v) - 1)])
+    return pa.table({nm: pa.array([out[nm]], pa.int64()) for nm in names})
+
+
 def sessionize(
     sf_dir: str, gap_minutes: int = 30, num_partitions: int | None = None
 ) -> Dataset:

@@ -1,0 +1,140 @@
+"""Focused tests for the round-5 relational additions: the Q3-shaped
+large⋈large join, the exact distinct-count, the anti-join, and the
+discrete-quantile operator — each checked against DuckDB on inputs chosen
+to hit the seams the sf0.001 oracle sweep can miss (float-rank edges,
+empty sides, bigger shard counts)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _df(obj) -> pd.DataFrame:
+    from ray.data import Dataset
+
+    if isinstance(obj, Dataset):
+        df = obj.to_pandas()
+    elif isinstance(obj, pa.Table):
+        df = obj.to_pandas()
+    else:
+        df = obj.copy()
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q3_matches_duckdb_at_sf001():
+    """sf0.01: enough rows that every shard has both sides and partial
+    top-k boundaries are actually exercised (1180 join groups)."""
+    from spider_ray.pipelines.relational import q3_shipping_priority
+
+    got = _df(q3_shipping_priority(SF01))
+    want = _df(
+        duckdb.sql(
+            f"""WITH c AS (SELECT c_custkey FROM '{SF01}/customer.parquet'
+            WHERE c_mktsegment = 'BUILDING'),
+            o AS (SELECT o_orderkey, o_orderdate FROM '{SF01}/orders.parquet'
+            JOIN c ON o_custkey = c_custkey
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+            l AS (SELECT l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)
+            *(100-CAST(round(l_discount*100) AS BIGINT)) AS r
+            FROM '{SF01}/lineitem.parquet'
+            WHERE l_shipdate > TIMESTAMP '1998-01-01')
+            SELECT o.o_orderkey, CAST(sum(l.r) AS BIGINT) AS revenue_c4,
+            o.o_orderdate
+            FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_c4 DESC, o_orderkey LIMIT 10"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q3_unknown_segment_is_empty():
+    """Empty broadcast side (no matching customers) → empty result, not an
+    error — exercises the all-miss orders filter and empty-shard merge."""
+    from spider_ray.pipelines.relational import q3_shipping_priority
+
+    ds = q3_shipping_priority(SF001, segment="NO_SUCH_SEGMENT")
+    assert ds.count() == 0
+    # Dataset-level schema survives the empty path (final_merge's early
+    # return) — note ray's to_pandas() itself drops columns at 0 rows, so
+    # the schema, not the pandas frame, is the API surface checked here.
+    assert ds.schema().names == ["o_orderkey", "revenue_c4", "o_orderdate"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distinct_users_matches_duckdb_at_sf001():
+    from spider_ray.pipelines.relational import distinct_users_per_type
+
+    got = _df(distinct_users_per_type(SF01, num_shards=7))
+    want = _df(
+        duckdb.sql(
+            f"SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            f"FROM '{SF01}/events.parquet' GROUP BY event_type"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anti_join_all_and_none(tmp_path):
+    """Two synthetic edges: a lineitem table matching NO orders (every order
+    survives) and one matching ALL (empty result)."""
+    from spider_ray.pipelines.relational import orders_without_lineitems
+
+    okeys = np.arange(10, dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": okeys,
+                "o_orderpriority": [f"P{i}" for i in range(10)],
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({"l_orderkey": np.arange(100, 105, dtype=np.int64)}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = orders_without_lineitems(str(tmp_path), num_shards=3).to_pandas()
+    assert sorted(out["o_orderkey"]) == list(range(10))
+
+    pq.write_table(
+        pa.table({"l_orderkey": np.repeat(okeys, 3)}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = orders_without_lineitems(str(tmp_path), num_shards=3).to_pandas()
+    assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n", [1, 2, 7, 10, 13, 997])
+def test_quantile_rank_rule_matches_duckdb(tmp_path, n):
+    """The float-rank edge: 0.9*10 rounds UP in float64 (rank 10) where
+    DuckDB's quantile_disc returns rank 9 — the engine's exact-decimal
+    Fraction rule must agree on tie-free values for every probed n."""
+    from spider_ray.pipelines.relational import doc_length_quantiles
+
+    rng = np.random.default_rng(n)
+    vals = rng.permutation(np.arange(1, n + 1, dtype=np.int64))
+    pq.write_table(pa.table({"n_chars": vals}), str(tmp_path / "documents.parquet"))
+    qs = (0.3, 0.5, 0.7, 0.9, 0.99)
+    got = doc_length_quantiles(str(tmp_path), qs=qs).to_pandas().iloc[0]
+    sel = ", ".join(
+        f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS p{round(q*100)}" for q in qs
+    )
+    want = duckdb.sql(
+        f"SELECT {sel} FROM '{tmp_path}/documents.parquet'"
+    ).df().iloc[0]
+    for q in qs:
+        assert got[f"p{round(q*100)}"] == want[f"p{round(q*100)}"], (n, q)
