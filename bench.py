@@ -136,6 +136,7 @@ QUERY_BENCH = [
     "orders_by_segment",
     "q3_shipping_priority",
     "distinct_users_per_type",
+    "distinct_users_hll",
     "orders_without_lineitems",
     "doc_length_quantiles",
     "events_hourly",

@@ -75,6 +75,10 @@ QUERIES = {
     "q3_shipping_priority": relational.q3_shipping_priority,
     # exact distinct-count aggregate (per-user hash shards)
     "distinct_users_per_type": relational.distinct_users_per_type,
+    # HLL approximate distinct — register-sized shuffle, no SQL oracle by
+    # design (DuckDB's approx_count_distinct is a different HLL); gated by
+    # the ≤5%-vs-exact pytest contract instead (rows-only for the driver)
+    "distinct_users_hll": relational.distinct_users_hll,
     # distributed anti-join over two fact tables
     "orders_without_lineitems": relational.orders_without_lineitems,
     # exact discrete quantiles via distributed value histogram

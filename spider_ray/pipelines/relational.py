@@ -601,6 +601,79 @@ def distinct_users_per_type(sf_dir: str, num_shards: int | None = None) -> Datas
     return partials.groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
 
 
+def distinct_users_hll(sf_dir: str, precision_bits: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT user_id) per event_type via HyperLogLog —
+    the unbounded-cardinality scale path that ``distinct_users_per_type``'s
+    docstring promises: the exact operator's shuffle carries every locally
+    distinct (type, user) pair, which is O(users); this one's shuffle is
+    O(types × 2^p) REGISTER rows no matter how many users exist.
+
+    Shape: per-batch vectorized register partials (one ``pd.util.hash_array``
+    per batch; register index = hash top p bits, rho = 1 + trailing zeros of
+    the suffix — same 2^-k geometric law as the classic leading-zero form,
+    and ctz vectorizes exactly: ``log2(w & -w)`` is a float-exact power of
+    two), one (type, register) groupby-max whose input is already shrunk to
+    ≤ types·2^p rows per block, then the answer-sized standard HLL estimate
+    (alpha_m bias factor + linear-counting small-range correction) on the
+    driver. Deterministic given the pandas build (hash_array is
+    version-stable only within a run — fine for an in-run estimate, the
+    same caveat the fetch index guards with a sentinel).
+
+    Accuracy: σ ≈ 1.04/√(2^p) ≈ 1.6 % at the default p=12;
+    tests pin ≤ 5 % against the exact operator at sf0.01. No SQL oracle by
+    design (DuckDB's approx_count_distinct is a different HLL
+    implementation) — the driver records the rows-only check."""
+    p = precision_bits
+    m = 1 << p
+    suffix_bits = np.uint64(64 - p)
+    suffix_mask = np.uint64((1 << (64 - p)) - 1)
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_registers(b: pa.Table) -> pd.DataFrame:
+        h = pd.util.hash_array(b.column("user_id").to_numpy()).astype(np.uint64)
+        reg = (h >> suffix_bits).astype(np.int64)
+        w = h & suffix_mask
+        rho = np.full(len(h), int(suffix_bits) + 1, dtype=np.int64)
+        nz = w != 0
+        # ctz: isolate the lowest set bit (two's-complement wraparound on
+        # uint64), log2 of an exact power of two is float-exact
+        low = w[nz] & (np.zeros(1, dtype=np.uint64) - w[nz])
+        rho[nz] = np.log2(low.astype(np.float64)).astype(np.int64) + 1
+        df = pd.DataFrame(
+            {
+                "event_type": b.column("event_type").to_pandas().to_numpy(),
+                "reg": reg,
+                "rho": rho,
+            }
+        )
+        out = df.groupby(["event_type", "reg"], sort=False, as_index=False)["rho"].max()
+        return out
+
+    regs = (
+        ds.map_batches(local_registers, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .max("rho")
+        .to_pandas()  # ≤ types × 2^p rows — register-sized, never row-sized
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    types, counts = [], []
+    for et, g in regs.groupby("event_type", sort=True):
+        rho = g["max(rho)"].to_numpy()
+        zeros = m - len(rho)  # registers never hit stay 0
+        denom = zeros + np.sum(np.exp2(-rho.astype(np.float64)))
+        est = alpha * m * m / denom
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear-counting small-range fix
+        types.append(et)
+        counts.append(int(round(est)))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_users_approx": pa.array(counts, pa.int64()),
+        }
+    )
+
+
 def orders_without_lineitems(sf_dir: str, num_shards: int | None = None) -> Dataset:
     """Anti-join as a first-class relational query: orders with NO lineitem
     rows (the same distributed anti-join shape the seen-state refill uses,

@@ -219,3 +219,22 @@ def test_read_clean_parquet_mid_list_drift_caught(tmp_path):
         )
     out = read_clean_parquet(str(d))
     assert sorted(out.to_pandas()["u"]) == [f"v{i}" for i in range(5)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_final_merge_all_empty_preserves_schema():
+    """Zero surviving rows: final_merge must return the pinned empty schema
+    UNTOUCHED — Ray prunes an empty dataset's block through any downstream
+    op (repartition / map_batches both yield a zero-column dataset), so the
+    empty path may not run the merge fn at all."""
+    import pandas as pd
+    import ray
+
+    from spider_ray.blockutil import final_merge
+
+    parts = [pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")] * 3
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.timestamp("us"))])
+    out = final_merge(ray.data.from_pandas(parts), lambda b: b, schema)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_a", "doc_b"]
+    assert out.schema().types == [pa.int64(), pa.timestamp("us")]

@@ -138,3 +138,52 @@ def test_quantile_rank_rule_matches_duckdb(tmp_path, n):
     ).df().iloc[0]
     for q in qs:
         assert got[f"p{round(q*100)}"] == want[f"p{round(q*100)}"], (n, q)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_matches_exact_at_sf001():
+    """sf0.01 cardinality (150 users/type) sits in the linear-counting
+    regime where the estimate is near-exact; pin the 5% contract anyway."""
+    from spider_ray.pipelines.relational import distinct_users_hll
+
+    approx = distinct_users_hll(SF01).to_pandas().set_index("event_type")
+    exact = (
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) AS n "
+            f"FROM '{SF01}/events.parquet' GROUP BY event_type"
+        )
+        .df()
+        .set_index("event_type")
+    )
+    assert set(approx.index) == set(exact.index)
+    for et in exact.index:
+        n, a = exact.loc[et, "n"], approx.loc[et, "n_users_approx"]
+        assert abs(a - n) <= max(1, 0.05 * n), (et, a, n)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_high_cardinality_regime(tmp_path):
+    """Planted 120k/30k-distinct types — well past the linear-counting
+    cutoff (2.5·2^12 = 10240), so this exercises the raw-HLL estimate and
+    the alpha_m bias factor; deterministic hash → a fixed, repeatable
+    estimate that must sit within 5% (>3σ at p=12)."""
+    from spider_ray.pipelines.relational import distinct_users_hll
+
+    rng = np.random.default_rng(7)
+    big = rng.choice(10**9, size=120_000, replace=False).astype(np.int64)
+    small = rng.choice(10**9, size=30_000, replace=False).astype(np.int64)
+    uid = np.r_[big, big[:50_000], small]  # repeats must not inflate
+    et = np.r_[
+        np.full(len(big) + 50_000, "big", dtype=object),
+        np.full(len(small), "small", dtype=object),
+    ]
+    pq.write_table(
+        pa.table({"event_type": pa.array(et, pa.string()), "user_id": uid}),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        distinct_users_hll(str(tmp_path)).to_pandas().set_index("event_type")
+    )
+    for et_name, n in [("big", 120_000), ("small", 30_000)]:
+        a = out.loc[et_name, "n_users_approx"]
+        assert abs(a - n) <= 0.05 * n, (et_name, a, n)
