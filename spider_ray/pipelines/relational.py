@@ -612,26 +612,41 @@ def distinct_users_hll(sf_dir: str, precision_bits: int = 12) -> pa.Table:
     per batch; register index = hash top p bits, rho = 1 + trailing zeros of
     the suffix — same 2^-k geometric law as the classic leading-zero form,
     and ctz vectorizes exactly: ``log2(w & -w)`` is a float-exact power of
-    two), one (type, register) groupby-max whose input is already shrunk to
-    ≤ types·2^p rows per block, then the answer-sized standard HLL estimate
-    (alpha_m bias factor + linear-counting small-range correction) on the
-    driver. Deterministic given the pandas build (hash_array is
+    two). (type, register) is PACKED into one int64 key — 52-bit type hash
+    ‖ p-bit register — so both the per-batch merge and the cross-block
+    shuffle ride the engine's int-key shard-groupby + ``reduceat`` fast
+    path (a 2-key string groupby here measured 7× slower than the EXACT
+    operator — the string-sort-shuffle pitfall). Final registers are
+    ≤ types·2^p rows; the standard HLL estimate (alpha_m bias factor +
+    linear-counting small-range correction) runs on that answer-sized
+    table. Deterministic given the pandas build (hash_array is
     version-stable only within a run — fine for an in-run estimate, the
-    same caveat the fetch index guards with a sentinel).
+    same caveat the fetch index guards with a sentinel). A 52-bit type-hash
+    collision (odds ~types²/2^53) would merge two types' registers — the
+    exact operator is the collision-free path.
 
     Accuracy: σ ≈ 1.04/√(2^p) ≈ 1.6 % at the default p=12;
     tests pin ≤ 5 % against the exact operator at sf0.01. No SQL oracle by
     design (DuckDB's approx_count_distinct is a different HLL
     implementation) — the driver records the rows-only check."""
+    from spider_ray.blockutil import default_join_partitions
+
     p = precision_bits
     m = 1 << p
     suffix_bits = np.uint64(64 - p)
     suffix_mask = np.uint64((1 << (64 - p)) - 1)
+    num_shards = default_join_partitions()
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _merge_by_kid(kid, rho, et):
+        order = np.argsort(kid, kind="stable")
+        kid, rho, et = kid[order], rho[order], et[order]
+        starts = np.flatnonzero(np.r_[True, kid[1:] != kid[:-1]])
+        return kid[starts], np.maximum.reduceat(rho, starts), et[starts]
 
     def local_registers(b: pa.Table) -> pd.DataFrame:
         h = pd.util.hash_array(b.column("user_id").to_numpy()).astype(np.uint64)
-        reg = (h >> suffix_bits).astype(np.int64)
+        reg = h >> suffix_bits
         w = h & suffix_mask
         rho = np.full(len(h), int(suffix_bits) + 1, dtype=np.int64)
         nz = w != 0
@@ -639,26 +654,35 @@ def distinct_users_hll(sf_dir: str, precision_bits: int = 12) -> pa.Table:
         # uint64), log2 of an exact power of two is float-exact
         low = w[nz] & (np.zeros(1, dtype=np.uint64) - w[nz])
         rho[nz] = np.log2(low.astype(np.float64)).astype(np.int64) + 1
-        df = pd.DataFrame(
+        et = b.column("event_type").to_pandas().to_numpy()
+        th = pd.util.hash_array(et).astype(np.uint64)
+        kid = (((th >> np.uint64(12)) << np.uint64(p)) | reg).view(np.int64)
+        kid, rho, et = _merge_by_kid(kid, rho, et)
+        return pd.DataFrame(
             {
-                "event_type": b.column("event_type").to_pandas().to_numpy(),
-                "reg": reg,
+                "_s": kid % num_shards,  # python-sign modulo: always ≥ 0
+                "kid": kid,
+                "event_type": et,
                 "rho": rho,
             }
         )
-        out = df.groupby(["event_type", "reg"], sort=False, as_index=False)["rho"].max()
-        return out
+
+    def shard_registers(g: pd.DataFrame) -> pd.DataFrame:
+        kid, rho, et = _merge_by_kid(
+            g["kid"].to_numpy(), g["rho"].to_numpy(), g["event_type"].to_numpy()
+        )
+        return pd.DataFrame({"event_type": et, "rho": rho})
 
     regs = (
         ds.map_batches(local_registers, batch_format="pyarrow")
-        .groupby(["event_type", "reg"])
-        .max("rho")
+        .groupby("_s")
+        .map_groups(shard_registers, batch_format="pandas")
         .to_pandas()  # ≤ types × 2^p rows — register-sized, never row-sized
     )
     alpha = 0.7213 / (1 + 1.079 / m)
     types, counts = [], []
     for et, g in regs.groupby("event_type", sort=True):
-        rho = g["max(rho)"].to_numpy()
+        rho = g["rho"].to_numpy()
         zeros = m - len(rho)  # registers never hit stay 0
         denom = zeros + np.sum(np.exp2(-rho.astype(np.float64)))
         est = alpha * m * m / denom
