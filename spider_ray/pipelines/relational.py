@@ -394,6 +394,7 @@ def q3_shipping_priority(
     cutoff: str = "1998-01-01",
     k: int = 10,
     num_shards: int | None = None,
+    broadcast_customer: bool = True,
 ) -> Dataset:
     """TPC-H-Q3-shaped 3-table join: top-k orders of one market segment by
     lineitem revenue either side of a date cutoff.
@@ -406,8 +407,10 @@ def q3_shipping_priority(
       segment), filters to the segment, and broadcasts the matching keys as
       ONE sorted int64 array via ``ray.put`` (the orders_by_segment
       pattern; ~1.2 MB per 10^6 matching customers — broadcast stays sane
-      far past the test tier, and the seam to a shuffle semi-join is this
-      same tagged-union shape keyed on custkey).
+      far past the test tier). ``broadcast_customer=False`` switches to
+      the shuffle SEMI-JOIN path for a customer side too big to
+      broadcast: the same tagged-union shape keyed on custkey, both sides
+      filtered at the scan, pytest-pinned equal to the broadcast path.
     - orders ⋈ lineitem (both fact tables) is a broadcast-free hash-shuffle
       join in the attach_payload style: both sides are filtered AT THE SCAN
       and tagged with ``_s = hash(orderkey) % P``; lineitem revenue is
@@ -427,28 +430,10 @@ def q3_shipping_priority(
         num_shards = default_join_partitions()
     cut_us = np.int64(np.datetime64(cutoff, "us").astype(np.int64))
 
-    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    keys = cust.filter(pc.equal(cust.column("c_mktsegment"), segment)).column(
-        "c_custkey"
-    )
-    ck_ref = ray.put(np.sort(keys.to_numpy().astype(np.int64)))
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def orders_side(b: pa.Table) -> pd.DataFrame:
-        from spider_ray.stages.broadcast import get_broadcast
-
-        cks = get_broadcast(ck_ref)  # sorted custkeys, deserialized once/worker
-        key = b.column("o_orderkey").to_numpy()
-        cu = b.column("o_custkey").to_numpy()
-        dt = b.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
-        keep = dt < cut_us
-        if len(cks):
-            pos = np.minimum(np.searchsorted(cks, cu), len(cks) - 1)
-            keep &= cks[pos] == cu
-        else:
-            keep &= False
-        key, dt = key[keep], dt[keep]
+    def _tag_orders(key: np.ndarray, dt: np.ndarray) -> pd.DataFrame:
+        # orderkey-keyed tagged rows for the orders⋈lineitem exchange
         return pd.DataFrame(
             {
                 "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
@@ -457,6 +442,113 @@ def q3_shipping_priority(
                 "o_orderdate": dt,
                 "revenue_c4": np.zeros(len(key), dtype=np.int64),
             }
+        )
+
+    if broadcast_customer:
+        cust = pq.read_table(
+            _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+        )
+        keys = cust.filter(pc.equal(cust.column("c_mktsegment"), segment)).column(
+            "c_custkey"
+        )
+        ck_ref = ray.put(np.sort(keys.to_numpy().astype(np.int64)))
+
+        def orders_side(b: pa.Table) -> pd.DataFrame:
+            from spider_ray.stages.broadcast import get_broadcast
+
+            cks = get_broadcast(ck_ref)  # sorted custkeys, once per worker
+            key = b.column("o_orderkey").to_numpy()
+            cu = b.column("o_custkey").to_numpy()
+            dt = (
+                b.column("o_orderdate")
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            keep = dt < cut_us
+            if len(cks):
+                pos = np.minimum(np.searchsorted(cks, cu), len(cks) - 1)
+                keep &= cks[pos] == cu
+            else:
+                keep &= False
+            return _tag_orders(key[keep], dt[keep])
+
+        orders_tagged = orders.map_batches(orders_side, batch_format="pyarrow")
+    else:
+        # Shuffle semi-join path — the documented seam for a customer side
+        # too big to broadcast: the SAME tagged-union shape, keyed on
+        # custkey. Both sides filter at the scan; the exchange carries
+        # (custkey[, orderkey, orderdate]) int64 rows only.
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+        def cust_side(b: pa.Table) -> pd.DataFrame:
+            ck = (
+                b.filter(pc.equal(b.column("c_mktsegment"), segment))
+                .column("c_custkey")
+                .to_numpy()
+                .astype(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "_c": (pd.util.hash_array(ck) % num_shards).astype(np.int64),
+                    "_t": np.zeros(len(ck), dtype=np.int8),
+                    "o_custkey": ck,
+                    "o_orderkey": np.zeros(len(ck), dtype=np.int64),
+                    "o_orderdate": np.zeros(len(ck), dtype=np.int64),
+                }
+            )
+
+        def ord_side(b: pa.Table) -> pd.DataFrame:
+            dt = (
+                b.column("o_orderdate")
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            keep = dt < cut_us
+            cu = b.column("o_custkey").to_numpy()[keep]
+            return pd.DataFrame(
+                {
+                    "_c": (pd.util.hash_array(cu) % num_shards).astype(np.int64),
+                    "_t": np.ones(len(cu), dtype=np.int8),
+                    "o_custkey": cu,
+                    "o_orderkey": b.column("o_orderkey").to_numpy()[keep],
+                    "o_orderdate": dt[keep],
+                }
+            )
+
+        def shard_semi(g: pd.DataFrame) -> pa.Table:
+            t = g["_t"].to_numpy()
+            ck = np.sort(g.loc[t == 0, "o_custkey"].to_numpy())
+            o = g.loc[t == 1]
+            cu = o["o_custkey"].to_numpy()
+            if len(ck):
+                pos = np.minimum(np.searchsorted(ck, cu), len(ck) - 1)
+                hit = ck[pos] == cu
+            else:
+                hit = np.zeros(len(cu), dtype=bool)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        o["o_orderkey"].to_numpy()[hit], pa.int64()
+                    ),
+                    "o_orderdate": pa.array(
+                        o["o_orderdate"].to_numpy()[hit], pa.int64()
+                    ),
+                }
+            )
+
+        filtered = (
+            cust_ds.map_batches(cust_side, batch_format="pyarrow")
+            .union(orders.map_batches(ord_side, batch_format="pyarrow"))
+            .groupby("_c")
+            .map_groups(shard_semi, batch_format="pandas")
+        )
+        orders_tagged = filtered.map_batches(
+            lambda b: _tag_orders(
+                b["o_orderkey"].to_numpy(), b["o_orderdate"].to_numpy()
+            ),
+            batch_format="pandas",
         )
 
     line = _read(
@@ -485,9 +577,7 @@ def q3_shipping_priority(
             }
         )
 
-    tagged = orders.map_batches(orders_side, batch_format="pyarrow").union(
-        line.map_batches(line_side, batch_format="pyarrow")
-    )
+    tagged = orders_tagged.union(line.map_batches(line_side, batch_format="pyarrow"))
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         return b.sort_values(

@@ -187,3 +187,22 @@ def test_hll_high_cardinality_regime(tmp_path):
     for et_name, n in [("big", 120_000), ("small", 30_000)]:
         a = out.loc[et_name, "n_users_approx"]
         assert abs(a - n) <= 0.05 * n, (et_name, a, n)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q3_semi_join_path_equals_broadcast():
+    """broadcast_customer=False (the no-broadcast shuffle semi-join for a
+    fact-sized customer table) must produce the identical top-k at sf0.01,
+    including with a shard count that forces multi-row groups."""
+    from spider_ray.pipelines.relational import q3_shipping_priority
+
+    want = _df(q3_shipping_priority(SF01))
+    got = _df(q3_shipping_priority(SF01, broadcast_customer=False, num_shards=5))
+    pd.testing.assert_frame_equal(got, want)
+
+    # empty segment through the semi-join path: schema-typed empty result
+    ds = q3_shipping_priority(
+        SF001, segment="NO_SUCH_SEGMENT", broadcast_customer=False
+    )
+    assert ds.count() == 0
+    assert ds.schema().names == ["o_orderkey", "revenue_c4", "o_orderdate"]
