@@ -138,6 +138,8 @@ QUERY_BENCH = [
     "distinct_users_per_type",
     "distinct_users_hll",
     "orders_without_lineitems",
+    "asof_prev_event",
+    "events_range_join",
     "doc_length_quantiles",
     "events_hourly",
     "events_sliding",

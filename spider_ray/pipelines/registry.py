@@ -88,6 +88,12 @@ QUERIES = {
     "top_events_per_type": relational.top_events_per_type,
     "top_users_by_events": relational.top_users_by_events,
     "sessionize": relational.sessionize,
+    # as-of join (backward, strict) — Ray Data lacks one; composed as a
+    # user-hash tagged-union shuffle + one compiled merge_asof per shard
+    "asof_prev_event": relational.asof_prev_event,
+    # non-equi range (band) join — window count as a difference of two
+    # as-of lookups over a per-user cumulative counter
+    "events_range_join": relational.events_range_join,
     # text analysis
     "token_counts": textops.token_counts,
     "bpe_token_counts": textops.bpe_token_counts,
@@ -219,6 +225,28 @@ ORACLE_SQL = {
         "THEN 1 ELSE 0 END AS s FROM ("
         "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
         "FROM events)) WHERE s = 1 GROUP BY user_id"
+    ),
+    # strict backward as-of: DuckDB ASOF JOIN picks the greatest r.ts with
+    # l.ts > r.ts per probe row; the build side is pre-reduced to one row
+    # per (user, ts) — same determinism rule as the engine
+    "asof_prev_event": (
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, ts, max(CAST(round(value*100) AS BIGINT)) "
+        "AS prev_value_c FROM events WHERE event_type = 'view' "
+        "GROUP BY user_id, ts) "
+        "SELECT l.event_id, l.user_id, r.prev_value_c "
+        "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts > r.ts"
+    ),
+    # keyed band join over the half-open window [l.ts - 60min, l.ts)
+    "events_range_join": (
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, ts FROM events WHERE event_type = 'view') "
+        "SELECT l.event_id, l.user_id, CAST(count(r.ts) AS BIGINT) AS n_in_window "
+        "FROM l LEFT JOIN r ON l.user_id = r.user_id "
+        "AND r.ts >= l.ts - INTERVAL 60 MINUTE AND r.ts < l.ts "
+        "GROUP BY l.event_id, l.user_id"
     ),
     "token_counts": (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "

@@ -964,3 +964,172 @@ def sessionize(
 
     # one vectorized call per SHARD (P calls total), never per user
     return part.groupby("_shard").map_groups(shard_sessions, batch_format="pandas")
+
+
+def _tagged_event_union(
+    sf_dir: str, left_type: str, right_type: str, num_shards: int
+) -> Dataset:
+    """ONE scan of events → tagged union keyed on ``hash(user_id) % P``.
+
+    Shared physical shape of the as-of and range joins below: both join
+    sides come from the same table, so a single pruned read emits both,
+    tagged with ``_side`` (1 = left/probe, 0 = right/build) and an int
+    shard key; the sort shuffle then co-locates every user's rows from
+    BOTH sides in exactly one partition. The exchange carries only rows of
+    the two filtered types — four int64 columns, no text/props payload."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        et = b.column("event_type")
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        b = b.filter(keep)
+        uid = b.column("user_id").to_numpy()
+        side = pc.equal(b.column("event_type"), left_type).to_numpy(
+            zero_copy_only=False
+        )
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(uid) % num_shards).astype(np.int64),
+                "_side": side.astype(np.int64),
+                "event_id": b.column("event_id").to_numpy(),
+                "user_id": uid,
+                # int64 epoch-µs across the shuffle (events_hourly rule: no
+                # datetime column through a Ray sort shuffle)
+                "ts": b.column("ts")
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "value_c": np.round(b.column("value").to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def asof_prev_event(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "view",
+    num_shards: int | None = None,
+) -> Dataset:
+    """AS-OF join (backward, strict): attach to each ``left_type`` event the
+    integer-cents value of the same user's most recent STRICTLY-earlier
+    ``right_type`` event; unmatched probes drop (inner as-of, DuckDB
+    ``ASOF JOIN`` semantics with ``l.ts > r.ts``).
+
+    Ray Data has no as-of join; this is the (a)-style composition from the
+    build brief: hash-partition both sides on the equality key (one tagged
+    union, ``_tagged_event_union``), then per shard ONE ``pd.merge_asof``
+    call — pandas' compiled backward-scan kernel, never a Python row loop.
+    Determinism: the right side is first reduced to max(value_c) per
+    (user, ts), so tied build timestamps cannot make the answer depend on
+    scan order (the SQL oracle applies the identical reduction).
+
+    Scale shape: the shuffle carries four int64 columns of the two filtered
+    types only; each shard's kernel is O(n log n) in ITS OWN rows. The
+    partitioning assumption is user-cardinality ≫ P (true at the 10^9-user
+    design point); a single pathological user concentrating the table in one
+    shard would need the salt-and-merge variant (salt the build side, probe
+    each salt — the documented seam, not built because merge_asof's
+    per-shard cost is already linear-ish)."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    part = _tagged_event_union(sf_dir, left_type, right_type, num_shards)
+
+    def shard_asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 1]
+        right = g[g["_side"] == 0]
+        # deterministic build side: one row per (user, ts), max value_c
+        r = right.groupby(["user_id", "ts"], as_index=False)["value_c"].max()
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]].sort_values("ts"),
+            r.rename(columns={"value_c": "prev_value_c"}).sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        ).dropna(subset=["prev_value_c"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].to_numpy(dtype=np.int64),
+                "user_id": m["user_id"].to_numpy(dtype=np.int64),
+                "prev_value_c": m["prev_value_c"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return part.groupby("_s").map_groups(shard_asof, batch_format="pandas")
+
+
+def events_range_join(
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    window_minutes: int = 60,
+    num_shards: int | None = None,
+) -> Dataset:
+    """RANGE (band) join: for each ``left_type`` event, the count of the
+    same user's ``right_type`` events inside the half-open window
+    ``[l.ts − W, l.ts)`` — every probe row kept (count 0 when none), i.e.
+    the non-equi interval join ``r.ts >= l.ts - W AND r.ts < l.ts`` on top
+    of the user equality key.
+
+    Physical shape: the same one-scan tagged union + user-hash shuffle as
+    ``asof_prev_event``, then per shard the window count is computed as a
+    DIFFERENCE OF TWO AS-OF LOOKUPS over the build side's per-user
+    cumulative counter: matches(l) = |r.ts < l.ts| − |r.ts < l.ts − W| —
+    two ``pd.merge_asof`` calls per shard instead of any per-row interval
+    scan, so a hot window cannot degrade to quadratic the way a naive
+    banded nested loop does. Tied build timestamps are handled by the
+    stable (user, ts) sort: the last tie carries the max cumulative count,
+    which is exactly |r.ts ≤ t|.
+
+    Scale: identical exchange and partitioning contract as the as-of join
+    (int64 metadata only, one shard per user). For a keyless/global band
+    join the seam is time-bucket partitioning with ±1-bucket replication of
+    the build side — not built because every reference- and brief-named use
+    is keyed."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    gap = np.int64(window_minutes * 60 * 1_000_000)
+    part = _tagged_event_union(sf_dir, left_type, right_type, num_shards)
+
+    def shard_window_count(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 1]
+        right = (
+            g[g["_side"] == 0][["user_id", "ts"]]
+            .sort_values(["user_id", "ts"], kind="stable")
+            .reset_index(drop=True)
+        )
+        right["cum"] = right.groupby("user_id").cumcount() + 1
+        rs = right.sort_values("ts", kind="stable")
+        ls = left[["event_id", "user_id", "ts"]].sort_values("ts")
+
+        def cum_before(probe: pd.DataFrame) -> np.ndarray:
+            # |build rows with r.ts < probe.ts| per probe row (strict asof)
+            m = pd.merge_asof(
+                probe,
+                rs,
+                on="ts",
+                by="user_id",
+                direction="backward",
+                allow_exact_matches=False,
+            )
+            return m["cum"].fillna(0).to_numpy(dtype=np.int64)
+
+        hi = cum_before(ls)
+        lo = cum_before(ls.assign(ts=ls["ts"] - gap))
+        return pd.DataFrame(
+            {
+                "event_id": ls["event_id"].to_numpy(dtype=np.int64),
+                "user_id": ls["user_id"].to_numpy(dtype=np.int64),
+                "n_in_window": hi - lo,
+            }
+        )
+
+    return part.groupby("_s").map_groups(shard_window_count, batch_format="pandas")

@@ -190,6 +190,103 @@ def test_hll_high_cardinality_regime(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_asof_matches_duckdb_at_sf01():
+    from spider_ray.pipelines.relational import asof_prev_event
+
+    got = _df(asof_prev_event(SF01, num_shards=5))
+    want = _df(
+        duckdb.sql(
+            f"""WITH l AS (SELECT event_id, user_id, ts
+            FROM '{SF01}/events.parquet' WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, max(CAST(round(value*100) AS BIGINT))
+            AS prev_value_c FROM '{SF01}/events.parquet'
+            WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, r.prev_value_c
+            FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts > r.ts"""
+        ).df()
+    )
+    assert len(got) > 1000  # the probe side really matched
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_matches_duckdb_at_sf01():
+    from spider_ray.pipelines.relational import events_range_join
+
+    got = _df(events_range_join(SF01, num_shards=5))
+    want = _df(
+        duckdb.sql(
+            f"""WITH l AS (SELECT event_id, user_id, ts
+            FROM '{SF01}/events.parquet' WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts FROM '{SF01}/events.parquet'
+            WHERE event_type = 'view')
+            SELECT l.event_id, l.user_id, CAST(count(r.ts) AS BIGINT)
+            AS n_in_window
+            FROM l LEFT JOIN r ON l.user_id = r.user_id
+            AND r.ts >= l.ts - INTERVAL 60 MINUTE AND r.ts < l.ts
+            GROUP BY l.event_id, l.user_id"""
+        ).df()
+    )
+    assert (want["n_in_window"] > 0).any()  # the window really matched
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_and_range_tie_edges(tmp_path):
+    """Crafted edges the sf0.01 data can't guarantee: build rows TIED on
+    (user, ts) with different values (the max-reduction rule), a probe
+    EXACTLY at a build timestamp (strictness: must not match itself), a
+    build row exactly at l.ts − W (window is closed at the left edge), and
+    a user with probes but no build rows (as-of drops it, range counts 0)."""
+    from spider_ray.pipelines.relational import asof_prev_event, events_range_join
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    rows = [
+        # user 1: two views tied at t0 (values 1.0, 9.0), click at t0
+        # (strict → no match) and at t0+1m (→ max of the tie, 900)
+        (1, 1, "view", t0, 1.0),
+        (2, 1, "view", t0, 9.0),
+        (3, 1, "click", t0, 0.0),
+        (4, 1, "click", t0 + m, 0.0),
+        # user 2: view exactly at purchase.ts − 60m (left-closed → counted)
+        # and exactly at purchase.ts (right-open → not counted)
+        (5, 2, "view", t0, 0.0),
+        (6, 2, "purchase", t0 + 60 * m, 0.0),
+        (7, 2, "view", t0 + 60 * m, 0.0),
+        # user 3: probes with no build rows at all
+        (8, 3, "click", t0, 0.0),
+        (9, 3, "purchase", t0, 0.0),
+        # user 1 purchase 61m after the tied views → outside the window
+        (10, 1, "purchase", t0 + 61 * m, 0.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    asof = _df(asof_prev_event(str(tmp_path), num_shards=3))
+    assert asof.to_dict("records") == [
+        {"event_id": 4, "user_id": 1, "prev_value_c": 900}
+    ]
+    rj = _df(events_range_join(str(tmp_path), num_shards=3))
+    want = pd.DataFrame(
+        {"event_id": [6, 9, 10], "user_id": [2, 3, 1], "n_in_window": [1, 0, 0]}
+    )
+    pd.testing.assert_frame_equal(rj, _df(want), check_dtype=False)
+
+    # probe type absent entirely → empty result, no error
+    assert asof_prev_event(str(tmp_path), left_type="signup").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_q3_semi_join_path_equals_broadcast():
     """broadcast_customer=False (the no-broadcast shuffle semi-join for a
     fact-sized customer table) must produce the identical top-k at sf0.01,
