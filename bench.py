@@ -140,7 +140,11 @@ QUERY_BENCH = [
     "orders_without_lineitems",
     "asof_prev_event",
     "events_range_join",
+    "user_running_total",
     "doc_length_quantiles",
+    "length_quantiles_by_source",
+    "props_extract_stats",
+    "token_doc_frequency",
     "events_hourly",
     "events_sliding",
     "top_events_per_type",

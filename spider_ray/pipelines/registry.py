@@ -94,6 +94,13 @@ QUERIES = {
     # non-equi range (band) join — window count as a difference of two
     # as-of lookups over a per-user cumulative counter
     "events_range_join": relational.events_range_join,
+    # grouped exact quantiles via per-group distributed value histogram
+    "length_quantiles_by_source": relational.length_quantiles_by_source,
+    # per-key ordered window function (SUM OVER PARTITION BY ... ORDER BY)
+    "user_running_total": relational.user_running_total,
+    # vectorized RE2 field extraction from semi-structured props + grouped
+    # aggregate (schema-on-read without a JSON parser)
+    "props_extract_stats": relational.props_extract_stats,
     # text analysis
     "token_counts": textops.token_counts,
     "bpe_token_counts": textops.bpe_token_counts,
@@ -103,6 +110,8 @@ QUERIES = {
     "shingle_stats": textops.shingle_stats,
     # deterministic content-hash downsampling (md5_number_lower % 100)
     "sample_documents": textops.sample_documents,
+    # vocabulary document-frequency top-k (per-doc distinct + combiner)
+    "token_doc_frequency": textops.token_doc_frequency,
     # dedup family / similarity
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     # connected-component representative per near-dup doc (union-find over
@@ -248,6 +257,33 @@ ORACLE_SQL = {
         "AND r.ts >= l.ts - INTERVAL 60 MINUTE AND r.ts < l.ts "
         "GROUP BY l.event_id, l.user_id"
     ),
+    # index rule shared with doc_length_quantiles (quantile_disc = value at
+    # 1-based rank ceil(q*n) within each group)
+    "length_quantiles_by_source": (
+        "SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "
+        "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90 "
+        "FROM documents GROUP BY source ORDER BY source"
+    ),
+    # per-key ordered window function; (ts, event_id) ordering makes the
+    # running sum deterministic under tied timestamps on both sides
+    "user_running_total": (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+        "AS running_c FROM events WHERE event_type = 'purchase'"
+    ),
+    # both engines are RE2; rows that don't match the pattern drop on both
+    # sides (DuckDB regexp_extract returns '' on no match, hence the
+    # explicit regexp_matches gate)
+    "props_extract_stats": (
+        "SELECT event_type, "
+        r"""CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) """
+        "AS BIGINT) AS sum_k, "
+        r"""CAST(max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) """
+        "AS BIGINT) AS max_k, count(*) AS n "
+        r"""FROM events WHERE regexp_matches(props, '"k":\s*(\d+)') """
+        "GROUP BY event_type"
+    ),
     "token_counts": (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "
         "AS n_tokens FROM documents"
@@ -303,6 +339,15 @@ ORACLE_SQL = {
         "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id FROM embeddings, q "
         "ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id LIMIT 10"
+    ),
+    # tokenization contract: single-space split, empty tokens dropped
+    # (string_split keeps empties where Python .split() drops them — the
+    # WHERE clause makes both sides identical); ORDER BY (df DESC, token)
+    # is the engine's deterministic top-k tie-break
+    "token_doc_frequency": (
+        "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ") WHERE token <> '' GROUP BY token ORDER BY df DESC, token LIMIT 50"
     ),
     # keep iff md5-low-64(text) % 100 < 10 — the engine computes the
     # identical hash (md5 digest bytes 8..16 little-endian)

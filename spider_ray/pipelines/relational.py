@@ -1133,3 +1133,198 @@ def events_range_join(
         )
 
     return part.groupby("_s").map_groups(shard_window_count, batch_format="pandas")
+
+
+def _disc_quantile_ranks(
+    qs: tuple[float, ...], total: int
+) -> list[int]:
+    """1-based target ranks under the DuckDB ``quantile_disc`` rule: the
+    value at rank ``ceil(q·n)``, with q read as an EXACT decimal —
+    ``Fraction(str(q))`` — because float64 ``0.9*10`` rounds UP to rank 10
+    where DuckDB returns rank 9 (pinned in tests/test_relational_extras.py
+    for the global variant; the grouped variant shares this helper so the
+    rule cannot drift between them)."""
+    import math
+    from fractions import Fraction
+
+    return [max(1, math.ceil(Fraction(str(q)) * total)) for q in qs]
+
+
+def length_quantiles_by_source(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)
+) -> pa.Table:
+    """GROUPED exact discrete quantiles: per-source p50/p90 of
+    documents.n_chars — the per-domain length-distribution profile a
+    training-data pipeline uses to set source-specific length filters.
+
+    Same distributed-value-histogram shape as ``doc_length_quantiles``, one
+    level deeper: per-batch (source, n_chars) counts (combiner), one
+    groupby whose output is O(sources × distinct lengths) — never
+    O(documents) — then an answer-sized driver pass computes each group's
+    quantiles under the shared ``_disc_quantile_ranks`` rule. The shuffle
+    and driver step stay bounded by the value domain at any row count, the
+    same contract (and caveat) as the global variant."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def local_counts(b: pa.Table) -> pa.Table:
+        t = b.append_column("n", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        g = t.group_by(["source", "n_chars"]).aggregate([("n", "sum")])
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_chars": g.column("n_chars"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    hist = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(sources × distinct lengths), never row-sized
+    )
+    names = [f"p{round(q * 100)}" for q in qs]
+    out: dict[str, list] = {"source": []}
+    for nm in names:
+        out[nm] = []
+    for source, g in hist.sort_values(["source", "n_chars"]).groupby(
+        "source", sort=True
+    ):
+        v = g["n_chars"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        total = int(cum[-1])
+        out["source"].append(source)
+        for nm, rank in zip(names, _disc_quantile_ranks(qs, total)):
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out[nm].append(int(v[min(idx, len(v) - 1)]))
+    cols: dict[str, pa.Array] = {"source": pa.array(out["source"], pa.string())}
+    for nm in names:
+        cols[nm] = pa.array(out[nm], pa.int64())
+    return pa.table(cols)
+
+
+def user_running_total(
+    sf_dir: str, event_type: str = "purchase", num_shards: int | None = None
+) -> Dataset:
+    """Per-key ordered WINDOW function: the running integer-cents total of
+    each user's ``event_type`` events, ordered by (ts, event_id) — SQL's
+    ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
+
+    Ray Data has no window functions; the composition is the sessionize
+    shape: filter at the read, hash-partition on ``hash(user_id) % P``
+    (every user's rows in exactly one shard), then ONE vectorized pass per
+    shard — lexsort by (user, ts, event_id), global cumsum, and a
+    per-group rebase via ``np.repeat`` of the cumsum at group starts. No
+    per-user Python call, no per-row loop; the exchange carries four int64
+    columns of the single filtered type. Output is row-sized by contract
+    (a window function returns one row per input row) — it streams back
+    out, never collects."""
+    import ray as _ray
+
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        b = b.filter(pc.equal(b.column("event_type"), event_type))
+        uid = b.column("user_id").to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(uid) % num_shards).astype(np.int64),
+                "event_id": b.column("event_id").to_numpy(),
+                "user_id": uid,
+                # int64 epoch-µs across the shuffle (events_hourly rule)
+                "ts": b.column("ts")
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "value_c": np.round(b.column("value").to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    part = ds.map_batches(tag, batch_format="pyarrow")
+
+    def shard_running(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value_c"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        cum = np.cumsum(val)
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        # cumsum value just BEFORE each group start, broadcast per row
+        base = np.repeat(
+            np.concatenate(([np.int64(0)], cum[starts[1:] - 1])),
+            np.diff(np.append(starts, len(uid))),
+        )
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": uid, "running_c": cum - base}
+        )
+
+    return part.groupby("_s").map_groups(shard_running, batch_format="pandas")
+
+
+# named group for pyarrow (extract_regex requires one); the SQL oracle uses
+# the identical pattern with a positional group — both engines are RE2, so
+# the MATCH semantics are byte-identical (registry.py pairs them)
+PROPS_K_RE = r'"k":\s*(?P<k>\d+)'
+
+
+def props_extract_stats(sf_dir: str) -> Dataset:
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    JSON-ish ``events.props`` string with ONE vectorized RE2 pass
+    (``pc.extract_regex`` — no JSON parser, no per-row Python), then a
+    grouped aggregate per event_type (sum/max/count of k over MATCHING
+    rows; non-matching rows drop on both sides by contract).
+
+    This is the log-pipeline staple — schema-on-read over a sloppy string
+    column — expressed as the q1 combiner shape: the regex pass and a
+    per-batch partial aggregate run where the data is, the shuffle carries
+    O(types × blocks) partial rows, never O(events)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("props"), PROPS_K_RE)
+        k = pc.struct_field(ex, 0).cast(pa.int64())
+        keep = pc.is_valid(k)
+        et = b.column("event_type").filter(keep)
+        t = pa.table(
+            {
+                "event_type": et,
+                "k": k.filter(keep),
+                "n": pa.array(np.ones(len(et), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "max"), ("n", "sum")]
+        )
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "sum_k": g.column("k_sum"),
+                "max_k": g.column("k_max"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n", alias_name="n"),
+        )
+    )

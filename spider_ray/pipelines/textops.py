@@ -212,3 +212,49 @@ def rolling_fingerprint(text: str, window: int = 8, base: int = 257, mod: int = 
         if i >= window - 1:
             best = h if best is None else min(best, h)
     return best
+
+
+def token_doc_frequency(sf_dir: str, k: int = 50) -> Dataset:
+    """Corpus vocabulary DOCUMENT FREQUENCY: for each token, the number of
+    documents containing it, top-k by (df DESC, token ASC) — the DF half of
+    TF-IDF and the vocabulary profile a training-data pipeline builds before
+    tokenizer fitting or stopword selection.
+
+    Tokenization contract (shared with the SQL oracle): single-space split,
+    empty tokens dropped — ``string_split(text, ' ')`` on the DuckDB side.
+
+    Physical shape: per batch, ONE ``pc.split_pattern`` → Arrow list array,
+    flattened zero-copy with ``list_parent_indices`` (no Python tokenizing
+    loop); per-document DISTINCT via a vectorized (doc, token)
+    drop_duplicates INSIDE the batch — sound because doc_id is unique in
+    the documents table, so no document spans two blocks — then a per-batch
+    value_counts emits (token, df) PARTIALS. The shuffle carries
+    O(vocab × blocks) partial rows, never O(token occurrences): at the
+    100 TB design point the exchange is bounded by vocabulary size, the
+    same combiner contract as q1. The final top-k is a vocab-sized sort."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial_df(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        d = pd.DataFrame(
+            {"doc": parent, "token": flat.to_pandas().to_numpy(dtype=object)}
+        )
+        d = d[d["token"] != ""].drop_duplicates()
+        c = d["token"].value_counts(sort=False)
+        return pd.DataFrame(
+            {
+                "token": c.index.to_numpy(dtype=object),
+                "df": c.to_numpy().astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    return agg.sort(["df", "token"], descending=[True, False]).limit(k)

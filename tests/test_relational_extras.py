@@ -303,3 +303,140 @@ def test_q3_semi_join_path_equals_broadcast():
     )
     assert ds.count() == 0
     assert ds.schema().names == ["o_orderkey", "revenue_c4", "o_orderdate"]
+
+
+def test_running_total_tie_and_shard_edges(tmp_path):
+    """Crafted window-function edges: ties on (user, ts) broken by event_id,
+    negative values (running sum dips), a single-event user, and a shard
+    count small enough that users share shards."""
+    from spider_ray.pipelines.relational import user_running_total
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")
+    rows = [
+        # user 1: tied ts at t0 — event_id order decides (id 2 before id 5)
+        (2, 1, "purchase", t0, 3.0),
+        (5, 1, "purchase", t0, 4.0),
+        (7, 1, "purchase", t0 + m, -10.0),
+        # user 2: single event
+        (3, 2, "purchase", t0, 2.5),
+        # user 3: other type only → absent from output
+        (4, 3, "view", t0, 9.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = _df(user_running_total(str(tmp_path), num_shards=2))
+    want = pd.DataFrame(
+        {
+            "event_id": [2, 3, 5, 7],
+            "running_c": [300, 250, 700, -300],
+            "user_id": [1, 2, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+
+
+def test_props_extract_drops_nonmatching_rows(tmp_path):
+    """The match gate: rows whose props don't contain an integer k (junk,
+    float k, empty, absent key) drop from every aggregate on BOTH sides —
+    pinned against DuckDB on the same fixture."""
+    from spider_ray.pipelines.relational import props_extract_stats
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    props = ['{"k": 7}', '{"k":  30}', "junk", '{"k": 1.5}', "", '{"j": 4}']
+    types = ["a", "a", "a", "b", "b", "b"]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "user_id": pa.array([1] * 6, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "ts": pa.array([t0] * 6, pa.timestamp("us")),
+                "value": pa.array([0.0] * 6, pa.float64()),
+                "props": pa.array(props, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = _df(props_extract_stats(str(tmp_path)))
+    # '{"k": 1.5}' matches the \d+ group as k=1 (RE2 stops at the dot) —
+    # identical on both sides; truly non-matching rows vanish
+    want = duckdb.sql(
+        f"""SELECT event_type,
+        CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
+        count(*) AS n
+        FROM '{tmp_path}/events.parquet'
+        WHERE regexp_matches(props, '"k":\\s*(\\d+)') GROUP BY event_type"""
+    ).df()
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+    assert got["n"].sum() == 3  # junk, empty and {"j":4} dropped
+
+
+def test_grouped_quantiles_rank_edge(tmp_path):
+    """The float-rank edge per GROUP: n=10 and q=0.9 must pick 1-based rank
+    9 (exact-decimal ceil), not rank 10 as float64 0.9*10 would — checked
+    against DuckDB quantile_disc group-by on a two-source fixture with
+    deliberately different distributions."""
+    from spider_ray.pipelines.relational import length_quantiles_by_source
+
+    lengths = list(range(1, 11)) + [100, 200, 300]
+    sources = ["a"] * 10 + ["b"] * 3
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(lengths)), pa.int64()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array(lengths, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _df(length_quantiles_by_source(str(tmp_path)))
+    want = duckdb.sql(
+        f"""SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+        CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+        FROM '{tmp_path}/documents.parquet' GROUP BY source ORDER BY source"""
+    ).df()
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+    # the rank rule, spelled out: source a has n=10 → p90 = rank 9 = value 9
+    assert got.loc[got["source"] == "a", "p90"].item() == 9
+
+
+def test_token_doc_frequency_edges(tmp_path):
+    """Tokenization + DF contract: runs of spaces yield empty tokens that
+    BOTH sides drop; a token repeated inside one doc counts that doc ONCE;
+    the (df DESC, token ASC) tie-break is deterministic."""
+    from spider_ray.pipelines.textops import token_doc_frequency
+
+    texts = [
+        "apple  banana apple",  # double space → empty token dropped
+        "banana cherry",
+        "apple",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = token_doc_frequency(str(tmp_path), k=10).to_pandas()
+    want = pd.DataFrame(
+        {"token": ["apple", "banana", "cherry"], "df": [2, 2, 1]}
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
