@@ -157,6 +157,8 @@ QUERY_BENCH = [
     "minhash_lsh_pairs",
     "minhash_dedup_clusters",
     "sample_documents",
+    "dup_ngram_stats",
+    "length_filtered_docs",
     "ngram_jaccard_pairs",
     "simhash_table",
     "simhash_near_dup_pairs",

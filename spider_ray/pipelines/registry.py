@@ -112,6 +112,11 @@ QUERIES = {
     "sample_documents": textops.sample_documents,
     # vocabulary document-frequency top-k (per-doc distinct + combiner)
     "token_doc_frequency": textops.token_doc_frequency,
+    # duplicate-n-gram repetition signal (Gopher/RefinedWeb-style)
+    "dup_ngram_stats": textops.dup_ngram_stats,
+    # composed two-stage quality gate: per-source quantiles → broadcast
+    # band filter (no join, no second shuffle)
+    "length_filtered_docs": textops.length_filtered_docs,
     # dedup family / similarity
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     # connected-component representative per near-dup doc (union-find over
@@ -339,6 +344,30 @@ ORACLE_SQL = {
         "WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0) "
         "SELECT vec_id FROM embeddings, q "
         "ORDER BY list_cosine_similarity(embedding, q.e) DESC, vec_id LIMIT 10"
+    ),
+    # same lowercased \S+ word split + 3-gram shingle construction as the
+    # minhash/shingle_stats oracles; dup_pct is integer floor division
+    "dup_ngram_stats": (
+        "SELECT doc_id, CAST(len(sh_all) AS BIGINT) AS n_shingles_total, "
+        "CAST(len(list_distinct(sh_all)) AS BIGINT) AS n_shingles_distinct, "
+        "CAST(CASE WHEN len(sh_all) = 0 THEN 0 ELSE "
+        "((len(sh_all) - len(list_distinct(sh_all))) * 100) // len(sh_all) "
+        "END AS BIGINT) AS dup_pct FROM ("
+        "SELECT doc_id, list_transform(range(1, len(words)-1), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh_all "
+        r"FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words "
+        "FROM documents))"
+    ),
+    # stage 1 = the length_quantiles_by_source oracle at (0.1, 0.9); stage 2
+    # keeps docs inside their OWN source's closed [p10, p90] band
+    "length_filtered_docs": (
+        "WITH q AS (SELECT source, "
+        "CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS lo, "
+        "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS hi "
+        "FROM documents GROUP BY source) "
+        "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+        "JOIN q ON d.source = q.source "
+        "WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi"
     ),
     # tokenization contract: single-space split, empty tokens dropped
     # (string_split keeps empties where Python .split() drops them — the

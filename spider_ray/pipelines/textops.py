@@ -258,3 +258,71 @@ def token_doc_frequency(sf_dir: str, k: int = 50) -> Dataset:
         .aggregate(Sum("df", alias_name="df"))
     )
     return agg.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def dup_ngram_stats(sf_dir: str, n: int = 3) -> Dataset:
+    """Duplicate-n-gram fraction per document — the repetition quality
+    signal (Gopher/RefinedWeb-style "fraction of text in duplicated
+    n-grams"): total word-n-gram shingles, distinct shingles, and the
+    integer duplicate percentage ``(total - distinct) * 100 // total``
+    (0 for shingle-less docs). High dup_pct marks boilerplate/spam for the
+    filtering stage.
+
+    Same per-doc pass as ``shingle_stats`` (the shingle walk is the
+    irreducible per-doc work, shared with the MinHash sketch stage);
+    integer-only output per the quality_scores determinism rule."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        totals, distincts = [], []
+        for t in batch["text"]:
+            words = t.lower().split()
+            total = max(0, len(words) - n + 1)
+            totals.append(total)
+            distincts.append(
+                len({" ".join(words[i : i + n]) for i in range(total)})
+            )
+        total_a = np.asarray(totals, np.int64)
+        dist_a = np.asarray(distincts, np.int64)
+        dup = np.where(
+            total_a > 0, (total_a - dist_a) * 100 // np.maximum(total_a, 1), 0
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_shingles_total": total_a,
+                "n_shingles_distinct": dist_a,
+                "dup_pct": dup.astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def length_filtered_docs(
+    sf_dir: str, lo_q: float = 0.1, hi_q: float = 0.9
+) -> Dataset:
+    """Quantile-gated length filter — the composed two-stage quality
+    pipeline: compute per-source length quantiles (stage 1, answer-sized),
+    then keep each document iff its length lies inside its OWN source's
+    [p_lo, p_hi] band (stage 2, streaming filter).
+
+    Scale shape: stage 1 is ``length_quantiles_by_source`` (shuffle bounded
+    by sources × distinct lengths); its O(sources) result ships to the
+    filter workers inside the function closure — the broadcast-small-side
+    pattern, no second shuffle, no join. Stage 2 is one vectorized
+    dict-map + mask per batch and streams row-sized output."""
+    from spider_ray.pipelines.relational import length_quantiles_by_source
+
+    q = length_quantiles_by_source(sf_dir, (lo_q, hi_q)).to_pandas()
+    lo_name, hi_name = (f"p{round(x * 100)}" for x in (lo_q, hi_q))
+    lo = dict(zip(q["source"], q[lo_name].astype(np.int64)))
+    hi = dict(zip(q["source"], q[hi_name].astype(np.int64)))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["source"]
+        keep = (batch["n_chars"] >= s.map(lo)) & (batch["n_chars"] <= s.map(hi))
+        return batch.loc[keep, ["doc_id", "source", "n_chars"]]
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        f, batch_format="pandas"
+    )

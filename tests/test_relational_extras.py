@@ -440,3 +440,75 @@ def test_token_doc_frequency_edges(tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_dup_ngram_stats_planted(tmp_path):
+    """Planted repetition: a doc that is one phrase repeated (high dup_pct),
+    a doc with all-unique shingles (0), and a doc shorter than n (0 total,
+    0 dup) — the engine must match DuckDB's list-based computation."""
+    from spider_ray.pipelines.textops import dup_ngram_stats
+
+    texts = [
+        "spam spam spam spam spam spam",  # 4 shingles, 1 distinct → 75
+        "a b c d e f",  # 4 shingles, all distinct → 0
+        "x y",  # shorter than n=3 → 0 total
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _df(dup_ngram_stats(str(tmp_path)))
+    want = duckdb.sql(
+        f"""SELECT doc_id, CAST(len(sh_all) AS BIGINT) AS n_shingles_total,
+        CAST(len(list_distinct(sh_all)) AS BIGINT) AS n_shingles_distinct,
+        CAST(CASE WHEN len(sh_all) = 0 THEN 0 ELSE
+        ((len(sh_all) - len(list_distinct(sh_all))) * 100) // len(sh_all)
+        END AS BIGINT) AS dup_pct FROM (
+        SELECT doc_id, list_transform(range(1, len(words)-1),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh_all
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words
+        FROM '{tmp_path}/documents.parquet'))"""
+    ).df()
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+    assert got.sort_values("doc_id")["dup_pct"].tolist() == [75, 0, 0]
+
+
+def test_length_filtered_docs_band_membership(tmp_path):
+    """The composed quantile gate on a crafted two-source skew: each source
+    filters on its OWN band (a global band would keep source-b outliers),
+    and the closed-interval edges keep docs exactly AT p10/p90."""
+    from spider_ray.pipelines.textops import length_filtered_docs
+
+    lengths = list(range(1, 11)) + [1000, 2000, 3000, 4000, 5000]
+    sources = ["a"] * 10 + ["b"] * 5
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(lengths)), pa.int64()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array(lengths, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _df(length_filtered_docs(str(tmp_path)))
+    want = duckdb.sql(
+        f"""WITH q AS (SELECT source,
+        CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS lo,
+        CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS hi
+        FROM '{tmp_path}/documents.parquet' GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM '{tmp_path}/documents.parquet' d JOIN q ON d.source = q.source
+        WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi"""
+    ).df()
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+    # per-source bands: source a keeps 1..9 (p10=1, p90=9), source b keeps
+    # 1000..5000 (p10=1000, p90=5000) — lengths that would die under a
+    # global band survive under their own source's
+    kept_b = got.loc[got["source"] == "b", "n_chars"].tolist()
+    assert kept_b == [1000, 2000, 3000, 4000, 5000]
