@@ -141,10 +141,15 @@ QUERY_BENCH = [
     "asof_prev_event",
     "events_range_join",
     "user_running_total",
+    "user_event_gaps",
+    "event_type_transitions",
+    "order_lineitem_counts",
+    "events_type_pivot",
     "doc_length_quantiles",
     "length_quantiles_by_source",
     "props_extract_stats",
     "token_doc_frequency",
+    "top_tokens",
     "events_hourly",
     "events_sliding",
     "top_events_per_type",

@@ -101,6 +101,15 @@ QUERIES = {
     # vectorized RE2 field extraction from semi-structured props + grouped
     # aggregate (schema-on-read without a JSON parser)
     "props_extract_stats": relational.props_extract_stats,
+    # LAG-diff window aggregate (per-user inter-event gap stats)
+    "user_event_gaps": relational.user_event_gaps,
+    # sequence bigram (Markov transition) counts via the same lag shape
+    "event_type_transitions": relational.event_type_transitions,
+    # LEFT OUTER large⋈large join with zero-fill (complement of the
+    # anti-join; one row per order, streams)
+    "order_lineitem_counts": relational.order_lineitem_counts,
+    # PIVOT to a fixed column vocabulary (wide per-user type counts)
+    "events_type_pivot": relational.events_type_pivot,
     # text analysis
     "token_counts": textops.token_counts,
     "bpe_token_counts": textops.bpe_token_counts,
@@ -112,6 +121,8 @@ QUERIES = {
     "sample_documents": textops.sample_documents,
     # vocabulary document-frequency top-k (per-doc distinct + combiner)
     "token_doc_frequency": textops.token_doc_frequency,
+    # corpus-wide word count top-k (the TF half; same vocab-bounded shape)
+    "top_tokens": textops.top_tokens,
     # duplicate-n-gram repetition signal (Gopher/RefinedWeb-style)
     "dup_ngram_stats": textops.dup_ngram_stats,
     # composed two-stage quality gate: per-source quantiles → broadcast
@@ -289,6 +300,46 @@ ORACLE_SQL = {
         r"""FROM events WHERE regexp_matches(props, '"k":\s*(\d+)') """
         "GROUP BY event_type"
     ),
+    # gap multiset of a ts-sorted sequence is tie-order-invariant, so the
+    # aggregates match regardless of how either engine breaks ts ties;
+    # users with a single event drop on both sides (g IS NULL)
+    "user_event_gaps": (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+        "CAST(sum(g) AS BIGINT) AS sum_gap_us, "
+        "CAST(max(g) AS BIGINT) AS max_gap_us FROM ("
+        "SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g FROM events"
+        ") WHERE g IS NOT NULL GROUP BY user_id"
+    ),
+    # consecutive-pair content DOES depend on tie order → both engines
+    # order by (ts, event_id); each user's first event drops
+    "event_type_transitions": (
+        "SELECT prev_type, event_type, count(*) AS n FROM ("
+        "SELECT event_type, lag(event_type) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+        "FROM events) WHERE prev_type IS NOT NULL "
+        "GROUP BY prev_type, event_type"
+    ),
+    # LEFT OUTER with zero-fill: one row per order, 0/0 when no lineitems
+    "order_lineitem_counts": (
+        "SELECT o_orderkey, CAST(coalesce(l.n, 0) AS BIGINT) AS n_items, "
+        "CAST(coalesce(l.s, 0) AS BIGINT) AS sum_qty_c "
+        "FROM orders LEFT JOIN ("
+        "SELECT l_orderkey, count(*) AS n, "
+        "sum(CAST(round(l_quantity*100) AS BIGINT)) AS s "
+        "FROM lineitem GROUP BY l_orderkey) l ON o_orderkey = l.l_orderkey"
+    ),
+    # static FILTER aggregates = the pivot's closed column vocabulary
+    # (relational.EVENT_TYPES); a type absent for a user counts 0 naturally
+    "events_type_pivot": (
+        "SELECT user_id, "
+        "CAST(count(*) FILTER (WHERE event_type='click') AS BIGINT) AS n_click, "
+        "CAST(count(*) FILTER (WHERE event_type='error') AS BIGINT) AS n_error, "
+        "CAST(count(*) FILTER (WHERE event_type='purchase') AS BIGINT) AS n_purchase, "
+        "CAST(count(*) FILTER (WHERE event_type='signup') AS BIGINT) AS n_signup, "
+        "CAST(count(*) FILTER (WHERE event_type='view') AS BIGINT) AS n_view "
+        "FROM events GROUP BY user_id"
+    ),
     "token_counts": (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "
         "AS n_tokens FROM documents"
@@ -377,6 +428,13 @@ ORACLE_SQL = {
         "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM ("
         "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
         ") WHERE token <> '' GROUP BY token ORDER BY df DESC, token LIMIT 50"
+    ),
+    # same tokenization contract as token_doc_frequency (single-space
+    # split, empties dropped); (n DESC, token) is the top-k tie-break
+    "top_tokens": (
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        ") WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
     ),
     # keep iff md5-low-64(text) % 100 < 10 — the engine computes the
     # identical hash (md5 digest bytes 8..16 little-endian)

@@ -1328,3 +1328,274 @@ def props_extract_stats(sf_dir: str) -> Dataset:
             Sum("n", alias_name="n"),
         )
     )
+
+
+def user_event_gaps(sf_dir: str, num_shards: int | None = None) -> Dataset:
+    """LAG-diff window aggregate: per user, the count / sum / max of the
+    inter-event time gaps (µs) between consecutive events ordered by ts —
+    SQL's ``ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)`` folded
+    into a per-user aggregate. Users with fewer than two events drop (they
+    have no gaps), matching the oracle's ``WHERE g IS NOT NULL``.
+
+    Physical shape: the sessionize composition — user-hash int shard key,
+    one sort shuffle of (user_id, ts) int64 pairs, then ONE vectorized pass
+    per shard (lexsort, shifted same-user compare, ``reduceat`` per-user
+    count/sum/max). Determinism under tied timestamps: the gap multiset of
+    a sorted sequence depends only on the ts multiset, so every aggregate
+    here is tie-order-invariant on both engines."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        uid = b.column("user_id").to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(uid) % num_shards).astype(np.int64),
+                "user_id": uid,
+                # int64 epoch-µs across the shuffle (events_hourly rule)
+                "ts": b.column("ts")
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+
+    part = ds.map_batches(tag, batch_format="pyarrow")
+
+    def shard_gaps(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        same = uid[1:] == uid[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        guid = uid[1:][same]  # sorted (subsequence of the sorted uid)
+        if not len(guid):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "sum_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, guid[1:] != guid[:-1]])
+        return pa.table(
+            {
+                "user_id": pa.array(guid[starts], pa.int64()),
+                "n_gaps": pa.array(np.diff(np.append(starts, len(guid)))),
+                "sum_gap_us": pa.array(np.add.reduceat(gaps, starts)),
+                "max_gap_us": pa.array(np.maximum.reduceat(gaps, starts)),
+            }
+        )
+
+    # one vectorized call per SHARD; every user lives in exactly one shard,
+    # so the per-shard aggregates are already globally final
+    return part.groupby("_s").map_groups(shard_gaps, batch_format="pandas")
+
+
+def event_type_transitions(sf_dir: str, num_shards: int | None = None) -> Dataset:
+    """Sequence bigram counts: how often event type A is IMMEDIATELY
+    followed by type B within one user's timeline (the Markov transition
+    table behind funnel / next-action analyses). Each user's first event
+    has no predecessor and drops, matching the oracle's
+    ``WHERE prev_type IS NOT NULL``.
+
+    Determinism: consecutive-pair CONTENT (unlike the gap multiset above)
+    does depend on tie order, so both engines order by (ts, event_id) —
+    the registry SQL uses the same two-key window ORDER BY.
+
+    Physical shape: user-hash shard shuffle carrying (user, ts, event_id,
+    type); per shard one lexsort + shifted compare builds the pairs and a
+    vectorized groupby emits ≤ types² partial rows; a metadata-sized
+    groupby sums shard partials."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        uid = b.column("user_id").to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(uid) % num_shards).astype(np.int64),
+                "event_id": b.column("event_id").to_numpy(),
+                "user_id": uid,
+                "ts": b.column("ts")
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "event_type": b.column("event_type").to_pandas().to_numpy(),
+            }
+        )
+
+    part = ds.map_batches(tag, batch_format="pyarrow")
+
+    def shard_transitions(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame(
+            {"prev_type": et[:-1][same], "event_type": et[1:][same]}
+        )
+        c = pairs.groupby(["prev_type", "event_type"], sort=False).size()
+        idx = c.index.to_frame(index=False)
+        return pa.table(
+            {
+                "prev_type": pa.array(
+                    idx["prev_type"].to_numpy(dtype=object), pa.string()
+                ),
+                "event_type": pa.array(
+                    idx["event_type"].to_numpy(dtype=object), pa.string()
+                ),
+                "n": pa.array(c.to_numpy().astype(np.int64)),
+            }
+        )
+
+    partials = part.groupby("_s").map_groups(shard_transitions, batch_format="pandas")
+    return partials.groupby(["prev_type", "event_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def order_lineitem_counts(sf_dir: str, num_shards: int | None = None) -> Dataset:
+    """LEFT OUTER join of two fact tables with zero-fill: every order with
+    the count and integer-cents quantity sum of its lineitems — 0/0 for
+    orders with none (the complement of ``orders_without_lineitems``'
+    anti-join; together they cover the outer-join family the inner-join q3
+    does not).
+
+    Physical shape: tagged union hash-partitioned on ``hash(o_orderkey) %
+    P``; the lineitem side is PARTIAL-aggregated per batch (sort +
+    ``reduceat`` count/sum per key — the q3 combiner), so the exchange
+    carries one row per (orderkey, block) on the big side; each shard
+    re-reduces its partials and probes them from the orders side with one
+    ``searchsorted``, emitting zero-filled misses. Output is row-sized by
+    contract (one row per order) and streams — never collected."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def o_side(b: pa.Table) -> pd.DataFrame:
+        key = b.column("o_orderkey").to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
+                "_t": np.zeros(len(key), dtype=np.int8),
+                "o_orderkey": key,
+                "n_items": np.zeros(len(key), dtype=np.int64),
+                "sum_qty_c": np.zeros(len(key), dtype=np.int64),
+            }
+        )
+
+    def l_side(b: pa.Table) -> pd.DataFrame:
+        key = b.column("l_orderkey").to_numpy()
+        qty = _cents(b.column("l_quantity").to_numpy())
+        # per-batch PARTIAL (count, sum) per orderkey — combiner pattern
+        order = np.argsort(key, kind="stable")
+        key, qty = key[order], qty[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        n = np.diff(np.append(starts, len(key)))
+        return pd.DataFrame(
+            {
+                "_s": (
+                    pd.util.hash_array(key[starts]) % num_shards
+                ).astype(np.int64),
+                "_t": np.ones(len(starts), dtype=np.int8),
+                "o_orderkey": key[starts],
+                "n_items": n.astype(np.int64),
+                "sum_qty_c": np.add.reduceat(qty, starts),
+            }
+        )
+
+    tagged = orders.map_batches(o_side, batch_format="pyarrow").union(
+        line.map_batches(l_side, batch_format="pyarrow")
+    )
+
+    def shard_left(g: pd.DataFrame) -> pa.Table:
+        t = g["_t"].to_numpy()
+        ok = g.loc[t == 0, "o_orderkey"].to_numpy()
+        li = g.loc[t == 1]
+        lk = li["o_orderkey"].to_numpy()
+        n_items = np.zeros(len(ok), dtype=np.int64)
+        sum_qty = np.zeros(len(ok), dtype=np.int64)
+        if len(lk):
+            order = np.argsort(lk, kind="stable")
+            lk = lk[order]
+            ln = li["n_items"].to_numpy()[order]
+            ls = li["sum_qty_c"].to_numpy()[order]
+            starts = np.flatnonzero(np.r_[True, lk[1:] != lk[:-1]])
+            uk = lk[starts]
+            un = np.add.reduceat(ln, starts)
+            us = np.add.reduceat(ls, starts)
+            pos = np.minimum(np.searchsorted(uk, ok), len(uk) - 1)
+            hit = uk[pos] == ok
+            n_items[hit] = un[pos[hit]]
+            sum_qty[hit] = us[pos[hit]]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "n_items": pa.array(n_items),
+                "sum_qty_c": pa.array(sum_qty),
+            }
+        )
+
+    return tagged.groupby("_s").map_groups(shard_left, batch_format="pandas")
+
+
+# the events generator's closed type vocabulary (TESTDATA.md); a type
+# outside this list would be dropped by the pivot on BOTH engines (the SQL
+# oracle enumerates the same columns), so the contract is explicit
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(
+    sf_dir: str, types: tuple[str, ...] = EVENT_TYPES
+) -> Dataset:
+    """PIVOT: one row per user with a count column per event type (the
+    wide per-entity feature vector a training pipeline feeds downstream).
+    Requires a KNOWN column vocabulary — the fixed ``types`` tuple — which
+    is what makes a pivot oracle-expressible as static FILTER aggregates.
+
+    Physical shape: per batch, one vectorized ``pc.equal``+cast per type
+    builds 0/1 indicator columns and an Arrow group_by reduces them to
+    per-(user, block) partials; one groupby then sums the partials. The
+    exchange carries O(users × blocks) rows of ``len(types)`` int64s —
+    the q1 combiner contract, never one row per event. An UNKNOWN-vocab
+    pivot would need a distinct-types pass first (the two-phase seam);
+    every named use here has a closed vocabulary."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    names = [f"n_{t}" for t in types]
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {
+            "user_id": b.column("user_id")
+        }
+        for t, nm in zip(types, names):
+            cols[nm] = pc.cast(pc.equal(et, t), pa.int64())
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [(nm, "sum") for nm in names]
+        )
+        # by-name selection — see source_counts for why not rename_columns
+        out = {"user_id": g.column("user_id")}
+        for nm in names:
+            out[nm] = g.column(f"{nm}_sum")
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(nm, alias_name=nm) for nm in names])
+    )

@@ -260,6 +260,37 @@ def token_doc_frequency(sf_dir: str, k: int = 50) -> Dataset:
     return agg.sort(["df", "token"], descending=[True, False]).limit(k)
 
 
+def top_tokens(sf_dir: str, k: int = 50) -> Dataset:
+    """Corpus-wide token OCCURRENCE counts, top-k by (n DESC, token ASC) —
+    the classic distributed word count, and the TF half next to
+    ``token_doc_frequency``'s DF (same tokenization contract: single-space
+    split, empty tokens dropped).
+
+    Physical shape: one ``pc.split_pattern`` per batch → zero-copy flatten
+    → ONE ``pc.value_counts`` (all Arrow kernels, no Python token loop)
+    emits (token, n) PARTIALS; the shuffle carries O(vocab × blocks) rows,
+    never O(token occurrences) — the same vocabulary-bounded combiner
+    contract as token_doc_frequency. Final top-k is a vocab-sized sort."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial_tf(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        vc = pc.value_counts(flat.combine_chunks())
+        tok = vc.field("values")
+        cnt = vc.field("counts")
+        keep = pc.not_equal(tok, "")
+        return pa.table({"token": tok.filter(keep), "n": cnt.filter(keep)})
+
+    agg = (
+        ds.map_batches(partial_tf, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def dup_ngram_stats(sf_dir: str, n: int = 3) -> Dataset:
     """Duplicate-n-gram fraction per document — the repetition quality
     signal (Gopher/RefinedWeb-style "fraction of text in duplicated

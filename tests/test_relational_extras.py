@@ -512,3 +512,169 @@ def test_length_filtered_docs_band_membership(tmp_path):
     # global band survive under their own source's
     kept_b = got.loc[got["source"] == "b", "n_chars"].tolist()
     assert kept_b == [1000, 2000, 3000, 4000, 5000]
+
+
+def _write_events(tmp_path, event_id, ts, user_id, event_type, value=None):
+    n = len(event_id)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.asarray(event_id, np.int64)),
+                "ts": pa.array(pd.to_datetime(ts)).cast(pa.timestamp("us")),
+                "user_id": pa.array(np.asarray(user_id, np.int64)),
+                "event_type": pa.array(list(event_type), pa.string()),
+                "value": pa.array(
+                    np.asarray(value if value is not None else np.zeros(n)),
+                    pa.float64(),
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_event_gaps_ties_and_singletons(tmp_path):
+    """Tied timestamps yield a 0 gap (not a dropped pair), single-event
+    users drop entirely, and the per-user reduceat aggregates match the
+    lag-window SQL on the same table."""
+    from spider_ray.pipelines.relational import user_event_gaps
+
+    _write_events(
+        tmp_path,
+        event_id=[1, 2, 3, 4, 5, 6],
+        ts=[
+            "2024-01-01 10:00:00",  # u1
+            "2024-01-01 10:00:00",  # u1 tie → gap 0
+            "2024-01-01 10:00:05",  # u1 → gap 5s
+            "2024-01-01 09:00:00",  # u2 single event → drops
+            "2024-01-01 08:00:00",  # u3
+            "2024-01-01 08:00:01",  # u3 → gap 1s
+        ],
+        user_id=[1, 1, 1, 2, 3, 3],
+        event_type=["a"] * 6,
+    )
+    got = _df(user_event_gaps(str(tmp_path), num_shards=3))
+    want = duckdb.sql(
+        f"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        CAST(sum(g) AS BIGINT) AS sum_gap_us, CAST(max(g) AS BIGINT) AS max_gap_us
+        FROM (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+        FROM '{tmp_path}/events.parquet')
+        WHERE g IS NOT NULL GROUP BY user_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+    byu = got.set_index("user_id")
+    assert 2 not in byu.index
+    assert byu.loc[1, "n_gaps"] == 2 and byu.loc[1, "max_gap_us"] == 5_000_000
+    assert byu.loc[3, "sum_gap_us"] == 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_type_transitions_tie_break(tmp_path):
+    """Tied timestamps order by event_id on BOTH engines — the pair content
+    (unlike the gap multiset) depends on the tie-break, so this pins it."""
+    from spider_ray.pipelines.relational import event_type_transitions
+
+    _write_events(
+        tmp_path,
+        event_id=[10, 2, 5, 7, 8],
+        # u1: tie at 10:00 → order by event_id: (2,B) then (10,A); then C
+        ts=["2024-01-01 10:00:00"] * 2 + ["2024-01-01 11:00:00"] * 1
+        + ["2024-01-02 09:00:00", "2024-01-02 09:30:00"],
+        user_id=[1, 1, 1, 2, 2],
+        event_type=["A", "B", "C", "A", "A"],
+    )
+    got = _df(event_type_transitions(str(tmp_path), num_shards=3))
+    want = duckdb.sql(
+        f"""SELECT prev_type, event_type, count(*) AS n FROM (
+        SELECT event_type, lag(event_type)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM '{tmp_path}/events.parquet')
+        WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"""
+    ).df()
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+    pairs = set(map(tuple, got[["event_type", "n", "prev_type"]].to_numpy()))
+    # u1 contributes B→A and A→C (event_id tie-break!), u2 contributes A→A
+    assert pairs == {("A", 1, "B"), ("C", 1, "A"), ("A", 1, "A")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_lineitem_counts_zero_fill(tmp_path):
+    """LEFT OUTER semantics: every order appears exactly once; orders with
+    no lineitems carry 0/0, matched orders carry exact count + cents sum."""
+    from spider_ray.pipelines.relational import order_lineitem_counts
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(np.arange(6, dtype=np.int64))}),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(
+                    np.array([0, 0, 0, 2, 2, 4], dtype=np.int64)
+                ),
+                "l_quantity": pa.array([1.5, 2.0, 0.25, 10.0, 0.1, 7.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = _df(order_lineitem_counts(str(tmp_path), num_shards=4))
+    want = duckdb.sql(
+        f"""SELECT o_orderkey, CAST(coalesce(l.n, 0) AS BIGINT) AS n_items,
+        CAST(coalesce(l.s, 0) AS BIGINT) AS sum_qty_c
+        FROM '{tmp_path}/orders.parquet' LEFT JOIN (
+        SELECT l_orderkey, count(*) AS n,
+        sum(CAST(round(l_quantity*100) AS BIGINT)) AS s
+        FROM '{tmp_path}/lineitem.parquet' GROUP BY l_orderkey) l
+        ON o_orderkey = l.l_orderkey"""
+    ).df()
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+    byk = got.set_index("o_orderkey")
+    assert len(got) == 6
+    assert byk.loc[0, "n_items"] == 3 and byk.loc[0, "sum_qty_c"] == 375
+    assert byk.loc[1, "n_items"] == 0 and byk.loc[1, "sum_qty_c"] == 0
+    assert byk.loc[2, "sum_qty_c"] == 1010
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_type_pivot_zero_and_unknown(tmp_path):
+    """A user with only one type gets explicit zeros in the other columns;
+    a type OUTSIDE the closed vocabulary counts toward no column but still
+    yields the user's row (all zeros) — on both engines."""
+    from spider_ray.pipelines.relational import events_type_pivot
+
+    _write_events(
+        tmp_path,
+        event_id=[1, 2, 3, 4],
+        ts=["2024-01-01 10:00:00"] * 4,
+        user_id=[1, 1, 2, 3],
+        event_type=["click", "click", "view", "weird"],
+    )
+    got = _df(events_type_pivot(str(tmp_path))).set_index("user_id")
+    assert got.loc[1, "n_click"] == 2 and got.loc[1, "n_view"] == 0
+    assert got.loc[2, "n_view"] == 1 and got.loc[2, "n_click"] == 0
+    assert 3 in got.index and got.loc[3].sum() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_tokens_tie_break_and_empties(tmp_path):
+    """Double spaces produce empty tokens that drop on both engines; the
+    top-k tie-break is (n DESC, token ASC); k truncates."""
+    from spider_ray.pipelines.textops import top_tokens
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["b a  b c", "a c  d"], pa.string()
+                ),  # a:2 b:2 c:2 d:1 (+4 empty tokens dropped)
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = top_tokens(str(tmp_path), k=3).to_pandas()
+    assert got["token"].tolist() == ["a", "b", "c"]
+    assert got["n"].tolist() == [2, 2, 2]
