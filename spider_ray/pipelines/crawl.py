@@ -65,7 +65,7 @@ from spider_ray.stages.expand import (
 from spider_ray.stages.fetch import fetch_indexed, fetch_join, load_corpus_ref
 from spider_ray.stages.politeness import politeness_split
 from spider_ray.stages.rank import assign_ranks
-from spider_ray.state.seen import UrlSeenShard, shard_of
+from spider_ray.state.seen import UrlSeenShard, iter_shard_groups, route_sentinel
 
 # the reference's logging surface (spider/controllers/core/loggers —
 # ``crawl_info`` lines consumed by its log-based tests): one structured
@@ -166,19 +166,20 @@ def _store_rows_count(store_dir: str) -> int:
 
 
 def make_seen_filter(shards: list, round_id: int, n_shards: int):
-    """map_batches UDF: keep rows whose url is newly claimed by its shard."""
+    """map_batches UDF: keep rows whose url is newly claimed by its shard.
+    Routing is one vectorized hash pass per batch (``iter_shard_groups``);
+    the driver's route sentinel rides the closure so a hash-skewed worker
+    fails loudly instead of mis-routing (see state/seen.py)."""
+    sentinel = route_sentinel()
 
     def seen_filter(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        urls = batch.column("url").to_pylist()
-        by_shard: dict[int, list[int]] = {}
-        for i, u in enumerate(urls):
-            by_shard.setdefault(shard_of(u, n_shards), []).append(i)
+        urls = batch.column("url").to_numpy(zero_copy_only=False)
         keep = np.zeros(len(urls), dtype=bool)
         futs, idxs = [], []
-        for s, rows in by_shard.items():
-            futs.append(shards[s].check_and_add.remote(round_id, [urls[i] for i in rows]))
+        for s, rows in iter_shard_groups(urls, n_shards, sentinel):
+            futs.append(shards[s].check_and_add.remote(round_id, urls[rows].tolist()))
             idxs.append(rows)
         for rows, mask in zip(idxs, ray.get(futs)):
             keep[rows] = mask
@@ -240,13 +241,13 @@ def _seed_frontier(
         seen_local.add(c)
         ordered.append(c)
     # claim on the shards (round_id 0) — keeps shard state authoritative
-    futs = {}
-    by_shard: dict[int, list[str]] = {}
-    for u in ordered:
-        by_shard.setdefault(shard_of(u, n_shards), []).append(u)
-    for s, urls in by_shard.items():
-        futs[s] = shards[s].check_and_add.remote(0, urls)
-    ray.get(list(futs.values()))
+    seed_arr = np.asarray(ordered, dtype=object)
+    ray.get(
+        [
+            shards[s].check_and_add.remote(0, seed_arr[rows].tolist())
+            for s, rows in iter_shard_groups(seed_arr, n_shards)
+        ]
+    )
     tbl = pa.Table.from_arrays(
         [
             pa.array(ordered, pa.string()),
@@ -431,13 +432,15 @@ def _restore(
         claim_files += glob.glob(os.path.join(_round_dir(out_dir, r), "seeds.parquet"))
     claims_ds = ray.data.read_parquet(claim_files, columns=["url"])
 
+    sentinel = route_sentinel()
+
     def bulk(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        by_shard: dict[int, list[str]] = {}
-        for u in urls:
-            by_shard.setdefault(shard_of(u, n_shards), []).append(u)
+        urls = batch.column("url").to_numpy(zero_copy_only=False)
         ray.get(
-            [shards[s].bulk_add.remote(us) for s, us in by_shard.items()]
+            [
+                shards[s].bulk_add.remote(urls[rows].tolist())
+                for s, rows in iter_shard_groups(urls, n_shards, sentinel)
+            ]
         )
         return pa.Table.from_pylist([{"n": len(urls)}])
 
@@ -622,7 +625,7 @@ def crawl(
                     parent_value,
                     cfg.max_depth,
                     store_dir,
-                    offer_to=(shards, r + 1, cfg.seen_shards),
+                    offer_to=(shards, r + 1, cfg.seen_shards, route_sentinel()),
                     robots_rules=cfg.robots,
                 )
                 counts = fetched.map_batches(

@@ -85,7 +85,8 @@ def make_parse_store_expand(
     offer_to=None,
     robots_rules=None,
 ):
-    """When ``offer_to=(shards, round_id, n_shards)`` is given, candidates
+    """When ``offer_to=(shards, round_id, n_shards, route_sentinel)`` is
+    given, candidates
     are routed straight to the seen shards (UrlSeenShard.offer) from inside
     this stage and only per-batch COUNTS flow downstream — the whole round
     body (fetch → parse → store write → robots → dedup offer) is then ONE
@@ -140,9 +141,9 @@ def make_parse_store_expand(
         if offer_to is not None:
             import ray
 
-            from spider_ray.state.seen import shard_of
+            from spider_ray.state.seen import iter_shard_groups
 
-            shards, round_id, n_shards = offer_to
+            shards, round_id, n_shards, sentinel = offer_to
             if cand_urls:
                 # LOCAL min-key dedup before offering: a batch's links
                 # heavily overlap (sequential pages of one host link into
@@ -150,25 +151,21 @@ def make_parse_store_expand(
                 # work is the round's one non-scaling component — shrinking
                 # the offered volume in the (scaling) parse tasks preserves
                 # the result exactly, because offer() itself accumulates
-                # the min key per url.
-                local: dict[str, int] = {}
-                for u, k in zip(cand_urls, cand_keys):
-                    cur = local.get(u)
-                    if cur is None or k < cur:
-                        local[u] = k
-                by_shard: dict[int, tuple[list, list]] = {}
-                for u, k in local.items():
-                    s = shard_of(u, n_shards)
-                    e = by_shard.get(s)
-                    if e is None:
-                        e = ([], [])
-                        by_shard[s] = e
-                    e[0].append(u)
-                    e[1].append(k)
+                # the min key per url. Vectorized: unique urls + minimum.at
+                # for the per-url min, then one hash pass for shard routing
+                # (the old per-candidate dict/shard_of loop rode the parse
+                # loop; this takes it off the interpreter entirely).
+                u_arr = np.asarray(cand_urls, dtype=object)
+                k_arr = np.asarray(cand_keys, dtype=np.int64)
+                uniq, inv = np.unique(u_arr, return_inverse=True)
+                mins = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mins, inv, k_arr)
                 ray.get(
                     [
-                        shards[s].offer.remote(round_id, us, ks)
-                        for s, (us, ks) in by_shard.items()
+                        shards[s].offer.remote(
+                            round_id, uniq[rows].tolist(), mins[rows].tolist()
+                        )
+                        for s, rows in iter_shard_groups(uniq, n_shards, sentinel)
                     ]
                 )
             return pa.Table.from_arrays(

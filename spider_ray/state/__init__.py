@@ -1,3 +1,19 @@
-from spider_ray.state.seen import BloomSeen, ExactSeen, UrlSeenShard, shard_of
+from spider_ray.state.seen import (
+    BloomSeen,
+    ExactSeen,
+    UrlSeenShard,
+    iter_shard_groups,
+    route_sentinel,
+    shard_ids_batch,
+    shard_of,
+)
 
-__all__ = ["BloomSeen", "ExactSeen", "UrlSeenShard", "shard_of"]
+__all__ = [
+    "BloomSeen",
+    "ExactSeen",
+    "UrlSeenShard",
+    "iter_shard_groups",
+    "route_sentinel",
+    "shard_ids_batch",
+    "shard_of",
+]

@@ -37,14 +37,78 @@ same URL-seen contract (SURVEY.md §7 hard-part 3).
 from __future__ import annotations
 
 import pickle
-import zlib
 
 import numpy as np
 
 
+def _route_hash_batch(urls) -> np.ndarray:
+    """Vectorized 64-bit routing hash (pandas' C siphash via
+    ``pd.util.hash_array``, fixed default key — deterministic across
+    processes and runs, no ``PYTHONHASHSEED`` dependence). Replaces the
+    per-url ``zlib.crc32`` python loop that every routing site paid
+    (seen-filter, offer fan-out, seed claim, resume replay). The only
+    invariant required: identical values in every process of a run —
+    guarded by the ``route_sentinel`` handshake below, mirroring
+    fetch.py's ``_SENTINEL_URL`` pattern."""
+    import pandas as pd
+
+    arr = np.asarray(urls, dtype=object)
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+# pd.util.hash_array is a pandas implementation detail, not a stable
+# contract. A driver/worker pandas skew on a real cluster would route the
+# same url to DIFFERENT shards from different processes — a url claimed in
+# shard A by a parse task would be re-admitted through shard B by the seen
+# filter (silent duplicate crawl). The driver computes the sentinel's hash
+# once and ships it inside every routing closure; each worker process
+# re-derives it on first use and fails loudly on mismatch.
+_ROUTE_SENTINEL_URL = "spider-ray-route-sentinel-v1"
+_checked_route_sentinels: set[int] = set()
+
+
+def route_sentinel() -> int:
+    """This process's hash of the fixed sentinel url (driver side: capture
+    into routing closures; worker side: compared on first batch)."""
+    return int(_route_hash_batch([_ROUTE_SENTINEL_URL])[0])
+
+
+def shard_ids_batch(urls, n_shards: int, sentinel: int | None = None) -> np.ndarray:
+    """Vectorized ``shard_of`` over a batch: one C hash pass + one modulo.
+    ``sentinel`` (when given) is the DRIVER's ``route_sentinel()``; checked
+    once per (process, sentinel) then cached."""
+    if sentinel is not None and sentinel not in _checked_route_sentinels:
+        here = route_sentinel()
+        if here != sentinel:
+            raise RuntimeError(
+                "url-routing hash skew between the driver and this worker "
+                f"(driver sentinel {sentinel}, here {here}) — mixed pandas "
+                "versions across the cluster would mis-route urls across "
+                "seen shards (silent duplicate crawls); align the "
+                "environment instead"
+            )
+        _checked_route_sentinels.add(sentinel)
+    return (_route_hash_batch(urls) % np.uint64(n_shards)).astype(np.int64)
+
+
+def iter_shard_groups(urls, n_shards: int, sentinel: int | None = None):
+    """Yield ``(shard_id, row_indices)`` for each non-empty shard — one
+    argsort + searchsorted pass instead of a per-url dict loop. ``urls`` is
+    any sequence/array of strings; indices index into it positionally."""
+    sid = shard_ids_batch(urls, n_shards, sentinel)
+    order = np.argsort(sid, kind="stable")
+    bounds = np.searchsorted(sid[order], np.arange(n_shards + 1))
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        if hi > lo:
+            yield s, order[lo:hi]
+
+
 def shard_of(url: str, n_shards: int) -> int:
-    """Stable cross-process routing hash (crc32 — cheap, deterministic)."""
-    return zlib.crc32(url.encode("utf-8")) % n_shards
+    """Scalar view of ``shard_ids_batch`` (seeds / tests / single-url
+    probes) — MUST stay consistent with the batch path: both sides of a
+    crawl route with it."""
+    return int(shard_ids_batch([url], n_shards)[0])
 
 
 class ExactSeen:

@@ -1,12 +1,48 @@
 import numpy as np
 import pytest
 
-from spider_ray.state.seen import BloomSeen, ExactSeen, UrlSeenShard, shard_of
+from spider_ray.state.seen import (
+    BloomSeen,
+    ExactSeen,
+    UrlSeenShard,
+    iter_shard_groups,
+    route_sentinel,
+    shard_ids_batch,
+    shard_of,
+)
 
 
 def test_shard_routing_stable():
     assert shard_of("https://a.example/p1", 8) == shard_of("https://a.example/p1", 8)
     assert 0 <= shard_of("x", 5) < 5
+
+
+def test_shard_ids_batch_matches_scalar():
+    urls = [f"https://h{i % 7}.example/p{i}?q={i * 3}" for i in range(200)] + [""]
+    sids = shard_ids_batch(urls, 8)
+    assert sids.dtype == np.int64
+    assert all(int(s) == shard_of(u, 8) for u, s in zip(urls, sids))
+    assert ((sids >= 0) & (sids < 8)).all()
+
+
+def test_iter_shard_groups_is_a_partition():
+    urls = np.asarray(
+        [f"https://h{i % 5}.example/p{i}" for i in range(333)], dtype=object
+    )
+    seen_rows: list[int] = []
+    for s, rows in iter_shard_groups(urls, 6):
+        assert (shard_ids_batch(urls[rows], 6) == s).all()
+        seen_rows.extend(rows.tolist())
+    # every row appears exactly once across the groups
+    assert sorted(seen_rows) == list(range(len(urls)))
+
+
+def test_route_sentinel_skew_fails_loudly():
+    ok = route_sentinel()
+    # matching sentinel passes (and caches)
+    shard_ids_batch(["https://a.example/"], 4, sentinel=ok)
+    with pytest.raises(RuntimeError, match="routing hash skew"):
+        shard_ids_batch(["https://a.example/"], 4, sentinel=ok ^ 0x1)
 
 
 def test_exact_seen_roundtrip():
