@@ -150,6 +150,7 @@ QUERY_BENCH = [
     "props_extract_stats",
     "token_doc_frequency",
     "top_tokens",
+    "tfidf_top_terms",
     "events_hourly",
     "events_sliding",
     "top_events_per_type",

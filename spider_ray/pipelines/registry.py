@@ -123,6 +123,9 @@ QUERIES = {
     "token_doc_frequency": textops.token_doc_frequency,
     # corpus-wide word count top-k (the TF half; same vocab-bounded shape)
     "top_tokens": textops.top_tokens,
+    # per-doc top-k terms by integer-exact tf/df (dual-path: vocab
+    # broadcast / token-hash + doc-hash shuffles — pinned equal in pytest)
+    "tfidf_top_terms": textops.tfidf_top_terms,
     # duplicate-n-gram repetition signal (Gopher/RefinedWeb-style)
     "dup_ngram_stats": textops.dup_ngram_stats,
     # composed two-stage quality gate: per-source quantiles → broadcast
@@ -435,6 +438,24 @@ ORACLE_SQL = {
         "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
         ") WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
+    ),
+    # integer-exact tf-idf ranking: score = (tf * 1e6) // df (floor div on
+    # both engines); ties (score DESC, token ASC) — see tfidf_top_terms'
+    # docstring for why the constant-N ln-idf factor drops out of the rank
+    "tfidf_top_terms": (
+        "WITH tok AS ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok WHERE token <> '' GROUP BY doc_id, token), "
+        "df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM tok WHERE token <> '' GROUP BY token), "
+        "scored AS (SELECT tf.doc_id, tf.token, "
+        "(tf.tf * 1000000) // df.df AS tfidf_scaled, "
+        "ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY (tf.tf * 1000000) // df.df DESC, tf.token ASC) AS r "
+        "FROM tf JOIN df USING (token)) "
+        "SELECT doc_id, token, tfidf_scaled FROM scored WHERE r <= 3"
     ),
     # keep iff md5-low-64(text) % 100 < 10 — the engine computes the
     # identical hash (md5 digest bytes 8..16 little-endian)

@@ -233,31 +233,34 @@ def token_doc_frequency(sf_dir: str, k: int = 50) -> Dataset:
     100 TB design point the exchange is bounded by vocabulary size, the
     same combiner contract as q1. The final top-k is a vocab-sized sort."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def partial_df(b: pa.Table) -> pd.DataFrame:
-        import pyarrow.compute as pc
-
-        toks = pc.split_pattern(b.column("text"), " ")
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks).to_numpy()
-        d = pd.DataFrame(
-            {"doc": parent, "token": flat.to_pandas().to_numpy(dtype=object)}
-        )
-        d = d[d["token"] != ""].drop_duplicates()
-        c = d["token"].value_counts(sort=False)
-        return pd.DataFrame(
-            {
-                "token": c.index.to_numpy(dtype=object),
-                "df": c.to_numpy().astype(np.int64),
-            }
-        )
-
     agg = (
-        ds.map_batches(partial_df, batch_format="pyarrow")
+        ds.map_batches(_partial_df, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
     )
     return agg.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def _partial_df(b: pa.Table) -> pd.DataFrame:
+    """Per-batch DOCUMENT-FREQUENCY partials: (token, df-in-this-batch).
+    Shared by ``token_doc_frequency`` (top-k profile) and
+    ``tfidf_top_terms`` (full-vocab DF) — one tokenization contract."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(b.column("text"), " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+    d = pd.DataFrame(
+        {"doc": parent, "token": flat.to_pandas().to_numpy(dtype=object)}
+    )
+    d = d[d["token"] != ""].drop_duplicates()
+    c = d["token"].value_counts(sort=False)
+    return pd.DataFrame(
+        {
+            "token": c.index.to_numpy(dtype=object),
+            "df": c.to_numpy().astype(np.int64),
+        }
+    )
 
 
 def top_tokens(sf_dir: str, k: int = 50) -> Dataset:
@@ -289,6 +292,164 @@ def top_tokens(sf_dir: str, k: int = 50) -> Dataset:
         .aggregate(Sum("n", alias_name="n"))
     )
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def _partial_tf_rows(b: pa.Table) -> pd.DataFrame:
+    """Per-batch (doc_id, token, tf) rows — one row per (document, distinct
+    token), i.e. the combiner-reduced TERM-FREQUENCY stream (never one row
+    per token occurrence). Tokenization contract shared with
+    ``_partial_df``/``top_tokens``: single-space split, empties dropped."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(b.column("text"), " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+    doc_ids = b.column("doc_id").to_numpy()
+    d = pd.DataFrame(
+        {
+            "doc_id": doc_ids[parent],
+            "token": flat.to_pandas().to_numpy(dtype=object),
+        }
+    )
+    d = d[d["token"] != ""]
+    g = d.groupby(["doc_id", "token"], sort=False).size()
+    idx = g.index.to_frame(index=False)
+    return pd.DataFrame(
+        {
+            "doc_id": idx["doc_id"].to_numpy().astype(np.int64),
+            "token": idx["token"].to_numpy(dtype=object),
+            "tf": g.to_numpy().astype(np.int64),
+        }
+    )
+
+
+def _topk_terms(d: pd.DataFrame, k: int) -> pa.Table:
+    """Top-k rows per doc_id by (tfidf_scaled DESC, token ASC) — the
+    ROW_NUMBER()-window tie rule, shared by both tfidf paths."""
+    d = d.sort_values(
+        ["doc_id", "tfidf_scaled", "token"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = d.groupby("doc_id", sort=False).head(k)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy().astype(np.int64)),
+            "token": pa.array(out["token"].to_numpy(dtype=object), pa.string()),
+            "tfidf_scaled": pa.array(
+                out["tfidf_scaled"].to_numpy().astype(np.int64)
+            ),
+        }
+    )
+
+
+def tfidf_top_terms(
+    sf_dir: str,
+    k: int = 3,
+    broadcast_vocab_limit: int = 64 << 20,
+    num_shards: int | None = None,
+) -> Dataset:
+    """Per-document top-k terms by TF-IDF — the keyword/topic signal a
+    training-data pipeline derives per document for tagging, clustering
+    seeds and quality heuristics. Composes the surface's TF and DF halves
+    (``top_tokens`` / ``token_doc_frequency``, same tokenization contract).
+
+    Score contract (integer-exact, so the driver's value-hash holds):
+    ``tfidf_scaled = (tf * 1_000_000) // df``. The usual ``ln(N/df)`` idf is
+    monotone-decreasing in df and N is corpus-constant, so per-document
+    RANKING by tf/df equals ranking by tf·ln-idf whenever tf ties break the
+    same way — here ties break (score DESC, token ASC) on both engines, and
+    the floor-division semantics of numpy int64 ``//`` and DuckDB ``//``
+    agree on non-negatives. Ranking, not the absolute idf value, is what
+    the operator exports.
+
+    Physical shape, DUAL-PATH on the DF table's byte size (the
+    embedding_near_dup_lsh gate pattern; paths pinned equal in pytest):
+    - vocab ≤ ``broadcast_vocab_limit``: the (token, df) table broadcasts
+      once via ``ray.put`` and ONE stateless pass computes per-batch tf
+      rows, a C-hash merge against the vocab, and the per-doc top-k —
+      zero shuffles beyond the vocab-bounded DF aggregate itself (a doc's
+      tokens never leave its batch: doc_id is row-unique).
+    - beyond the limit (web-scale vocab — typos/urls make token types
+      grow without bound): tagged-union token-hash shuffle joins df onto
+      the (doc_id, token, tf) stream, then a doc-hash shuffle runs the
+      per-doc top-k per shard. Both exchanges carry combiner-reduced
+      (doc, token) metadata rows, never token occurrences or text."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    df_mat = (
+        ds.map_batches(_partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+
+    if df_mat.size_bytes() <= broadcast_vocab_limit:
+        vocab_ref = ray.put(df_mat.to_pandas())
+
+        def score_batch(b: pa.Table) -> pa.Table:
+            tf = _partial_tf_rows(b)
+            m = tf.merge(ray.get(vocab_ref), on="token", how="inner")
+            m["tfidf_scaled"] = (
+                m["tf"].to_numpy() * 1_000_000
+            ) // m["df"].to_numpy()
+            return _topk_terms(m, k)
+
+        return ds.map_batches(score_batch, batch_format="pyarrow")
+
+    tf_rows = ds.map_batches(_partial_tf_rows, batch_format="pyarrow")
+
+    def tag_tf(b: pd.DataFrame) -> pd.DataFrame:
+        tok = b["token"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(tok) % num_shards).astype(np.int64),
+                "_t": np.ones(len(tok), dtype=np.int8),
+                "doc_id": b["doc_id"].to_numpy().astype(np.int64),
+                "token": tok,
+                "tf": b["tf"].to_numpy().astype(np.int64),
+                "df": np.zeros(len(tok), dtype=np.int64),
+            }
+        )
+
+    def tag_df(b: pd.DataFrame) -> pd.DataFrame:
+        tok = b["token"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(tok) % num_shards).astype(np.int64),
+                "_t": np.zeros(len(tok), dtype=np.int8),
+                "doc_id": np.full(len(tok), -1, dtype=np.int64),
+                "token": tok,
+                "tf": np.zeros(len(tok), dtype=np.int64),
+                "df": b["df"].to_numpy().astype(np.int64),
+            }
+        )
+
+    tagged = tf_rows.map_batches(tag_tf, batch_format="pandas").union(
+        df_mat.map_batches(tag_df, batch_format="pandas")
+    )
+
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["_t"].to_numpy()
+        dfs = g.loc[t == 0, ["token", "df"]]
+        tfs = g.loc[t == 1, ["doc_id", "token", "tf"]]
+        m = tfs.merge(dfs, on="token", how="inner")
+        m["tfidf_scaled"] = (m["tf"].to_numpy() * 1_000_000) // m[
+            "df"
+        ].to_numpy()
+        uid = m["doc_id"].to_numpy()
+        m["_s2"] = (pd.util.hash_array(uid) % num_shards).astype(np.int64)
+        return m[["_s2", "doc_id", "token", "tfidf_scaled"]]
+
+    scored = tagged.groupby("_s").map_groups(merge_shard, batch_format="pandas")
+    # every (doc, token) row of one doc lands in one _s2 shard, so the
+    # per-shard top-k is globally final
+    return scored.groupby("_s2").map_groups(
+        lambda g: _topk_terms(g, k), batch_format="pandas"
+    )
 
 
 def dup_ngram_stats(sf_dir: str, n: int = 3) -> Dataset:

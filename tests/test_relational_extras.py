@@ -678,3 +678,47 @@ def test_top_tokens_tie_break_and_empties(tmp_path):
     got = top_tokens(str(tmp_path), k=3).to_pandas()
     assert got["token"].tolist() == ["a", "b", "c"]
     assert got["n"].tolist() == [2, 2, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms_paths_equal_and_edges(tmp_path):
+    """Dual-path pin + contract edges: the broadcast-vocab path and the
+    token-hash/doc-hash shuffle path (gate forced to 0) return identical
+    tables; score ties break token-ASC; a doc with fewer than k distinct
+    tokens emits fewer rows; empty/whitespace-only docs emit none; and the
+    result matches the DuckDB window oracle on the same input."""
+    from spider_ray.pipelines.registry import ORACLE_SQL
+    from spider_ray.pipelines.textops import tfidf_top_terms
+
+    texts = [
+        "apple apple banana zebra",  # tf tie apple(2) > banana=zebra(1): token ASC
+        "banana banana banana",  # 1 distinct token < k → 1 row
+        "",  # no tokens → no rows
+        "   ",  # whitespace only → no rows
+        "zebra apple",  # rare-vs-common ranking: zebra (df 2) beats apple (df 3)? no — tf equal, df decides
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    broad = _df(tfidf_top_terms(str(tmp_path), k=3))
+    shuf = _df(tfidf_top_terms(str(tmp_path), k=3, broadcast_vocab_limit=0))
+    pd.testing.assert_frame_equal(broad, shuf)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _df(con.execute(ORACLE_SQL["tfidf_top_terms"]).fetch_df())
+    pd.testing.assert_frame_equal(
+        broad, want.astype(broad.dtypes.to_dict())
+    )
+    # doc 2 and 3 absent; doc 1 has exactly one row
+    assert set(broad["doc_id"]) == {0, 1, 4}
+    assert (broad["doc_id"] == 1).sum() == 1
