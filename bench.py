@@ -151,6 +151,7 @@ QUERY_BENCH = [
     "token_doc_frequency",
     "top_tokens",
     "tfidf_top_terms",
+    "clean_documents",
     "events_hourly",
     "events_sliding",
     "top_events_per_type",

@@ -131,6 +131,9 @@ QUERIES = {
     # composed two-stage quality gate: per-source quantiles → broadcast
     # band filter (no join, no second shuffle)
     "length_filtered_docs": textops.length_filtered_docs,
+    # capstone filter composition (prose gate ∧ repetition bound ∧ lang-id)
+    # — one stateless pass, zero shuffles
+    "clean_documents": textops.clean_documents,
     # dedup family / similarity
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     # connected-component representative per near-dup doc (union-find over
@@ -411,6 +414,29 @@ ORACLE_SQL = {
         "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh_all "
         r"FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words "
         "FROM documents))"
+    ),
+    # the quality_scores prose gate ∧ dup_ngram_stats' dup_pct ≤ 20 ∧ the
+    # lang_confusion en rule (s0 >= every other score) — predicates quoted
+    # verbatim from those three oracles so the composition cannot drift
+    "clean_documents": (
+        "SELECT doc_id, source, n_chars FROM ("
+        "SELECT doc_id, source, n_chars, "
+        r"CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_tokens, "
+        r"CAST(len(regexp_extract_all(lower(text),'\b(?:the|and|of|to|in|a|is)\b')) AS BIGINT) AS stop_count, "
+        "list_transform(range(1, len(words)-1), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh_all, "
+        r"len(regexp_extract_all(lower(text), '\b(?:the|and|is|of|to)\b')) AS s0, "
+        r"len(regexp_extract_all(lower(text), '\b(?:der|die|und|ist|das)\b')) AS s1, "
+        r"len(regexp_extract_all(lower(text), '\b(?:el|los|las|y|es)\b')) AS s2, "
+        r"len(regexp_extract_all(lower(text), '\b(?:le|les|et|est|une)\b')) AS s3, "
+        "len(regexp_extract_all(lower(text), '(?:的|是|了|在|和)')) AS s4 "
+        "FROM (SELECT doc_id, source, n_chars, text, "
+        r"regexp_extract_all(lower(text), '\S+') AS words FROM documents)) "
+        "WHERE n_tokens >= 10 AND stop_count*20 >= n_tokens "
+        "AND (CASE WHEN len(sh_all) = 0 THEN 0 ELSE "
+        "((len(sh_all) - len(list_distinct(sh_all))) * 100) // len(sh_all) "
+        "END) <= 20 "
+        "AND s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4"
     ),
     # stage 1 = the length_quantiles_by_source oracle at (0.1, 0.9); stage 2
     # keeps docs inside their OWN source's closed [p10, p90] band

@@ -465,29 +465,89 @@ def dup_ngram_stats(sf_dir: str, n: int = 3) -> Dataset:
     integer-only output per the quality_scores determinism rule."""
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        totals, distincts = [], []
-        for t in batch["text"]:
-            words = t.lower().split()
-            total = max(0, len(words) - n + 1)
-            totals.append(total)
-            distincts.append(
-                len({" ".join(words[i : i + n]) for i in range(total)})
-            )
-        total_a = np.asarray(totals, np.int64)
-        dist_a = np.asarray(distincts, np.int64)
-        dup = np.where(
-            total_a > 0, (total_a - dist_a) * 100 // np.maximum(total_a, 1), 0
-        )
+        total_a, dist_a, dup = _dup_pct_arrays(batch["text"], n)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "n_shingles_total": total_a,
                 "n_shingles_distinct": dist_a,
-                "dup_pct": dup.astype(np.int64),
+                "dup_pct": dup,
             }
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def _dup_pct_arrays(texts, n: int):
+    """Per-doc duplicate-n-gram arrays (total, distinct, dup_pct int64) —
+    the shingle walk is the irreducible per-doc work (shared contract with
+    the minhash sketch stage); everything around it is numpy. Shared by
+    ``dup_ngram_stats`` and ``clean_documents``."""
+    totals, distincts = [], []
+    for t in texts:
+        words = t.lower().split()
+        total = max(0, len(words) - n + 1)
+        totals.append(total)
+        distincts.append(len({" ".join(words[i : i + n]) for i in range(total)}))
+    total_a = np.asarray(totals, np.int64)
+    dist_a = np.asarray(distincts, np.int64)
+    dup = np.where(
+        total_a > 0, (total_a - dist_a) * 100 // np.maximum(total_a, 1), 0
+    ).astype(np.int64)
+    return total_a, dist_a, dup
+
+
+def clean_documents(
+    sf_dir: str,
+    min_tokens: int = 10,
+    max_dup_pct: int = 20,
+    lang: str = "en",
+) -> Dataset:
+    """The capstone FILTER COMPOSITION a training-data pipeline runs before
+    dedup: keep documents that (a) look like prose (the ``quality_scores``
+    gate: ≥ ``min_tokens`` tokens and ≥5 % stopwords), (b) are not
+    boilerplate (``dup_ngram_stats``' duplicate-trigram percentage ≤
+    ``max_dup_pct``) and (c) the n-gram language heuristic assigns to
+    ``lang`` (first-max priority, same rule as ``lang_confusion``). Emits
+    the kept docs' metadata manifest (doc_id, source, n_chars).
+
+    Physical shape: all three signals are per-document and computed in ONE
+    stateless ``map_batches`` pass — no shuffle anywhere, output streams.
+    At 100 TB this is the shape that matters: a signals-then-join design
+    would move every doc_id through three exchanges; composing the
+    predicates in-batch moves nothing, and the filtered manifest (or the
+    kept text itself, by selecting it) writes straight to partitioned
+    parquet. Integer-only predicates per the quality_scores determinism
+    rule."""
+    names = [nm for nm, _ in LANG_MARKERS]
+    li = names.index(lang)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_tokens = text.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
+        stop = text.str.lower().str.count(STOP_RE).to_numpy(dtype=np.int64)
+        _, _, dup = _dup_pct_arrays(text, 3)
+        # argmax picks the FIRST maximum — the priority order of the SQL
+        # CASE chain (lang_confusion's oracle contract)
+        pred = lang_scores_frame(batch).argmax(axis=1) == li
+        keep = (
+            (n_tokens >= min_tokens)
+            & (stop * 20 >= n_tokens)
+            & (dup <= max_dup_pct)
+            & pred
+        )
+        out = batch.loc[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+                "source": out["source"].to_numpy(dtype=object),
+                "n_chars": out["n_chars"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
 
 
 def length_filtered_docs(

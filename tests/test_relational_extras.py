@@ -722,3 +722,45 @@ def test_tfidf_top_terms_paths_equal_and_edges(tmp_path):
     # doc 2 and 3 absent; doc 1 has exactly one row
     assert set(broad["doc_id"]) == {0, 1, 4}
     assert (broad["doc_id"] == 1).sum() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clean_documents_each_gate_fires(tmp_path):
+    """One planted doc per rejection reason: too few tokens, too few
+    stopwords, too repetitive, wrong language — and one doc passing all
+    four gates. The engine must agree with the composed SQL oracle AND
+    keep exactly the passing doc."""
+    from spider_ray.pipelines.registry import ORACLE_SQL
+    from spider_ray.pipelines.textops import clean_documents
+
+    prose = (
+        "the cat and the dog walked to the park and the river "
+        "is a fine place to sit and watch the world go by today"
+    )
+    texts = [
+        prose,  # passes everything
+        "the and of",  # < 10 tokens
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # 0 stopwords
+        ("the and " * 40).strip(),  # stopword-rich but dup_pct ~97
+        "der hund und die katze ist das beste der der und und ist",  # German
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "source": pa.array([f"s{i}" for i in range(len(texts))]),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _df(clean_documents(str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _df(con.execute(ORACLE_SQL["clean_documents"]).fetch_df())
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert got["doc_id"].tolist() == [0]
