@@ -149,7 +149,9 @@ class _CorpusIndex:
         return out
 
     def lookup(self, batch: pa.Table) -> pa.Table:
-        burls = batch.column("url").to_pylist()
+        # object ndarray, not to_pylist: the hash pass wants an ndarray
+        # anyway, and this skips one list materialization per batch
+        burls = batch.column("url").to_numpy(zero_copy_only=False)
         idx = self._resolve(burls)
         hit_rows = np.flatnonzero(idx >= 0)
         sub = batch.select(["url", "depth", "rank"]).take(pa.array(hit_rows))
@@ -368,7 +370,7 @@ def load_corpus_ref(corpus_path: str):
     sentinel = _url_hash_batch([_SENTINEL_URL])[0]
 
     def _build_index(tbl):
-        urls = tbl.column("url").to_pylist()
+        urls = tbl.column("url").to_numpy(zero_copy_only=False)
         hashes = _url_hash_batch(urls)
         order = np.argsort(hashes, kind="stable").astype(np.int64)
         return hashes[order], order
