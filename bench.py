@@ -152,6 +152,7 @@ QUERY_BENCH = [
     "top_tokens",
     "tfidf_top_terms",
     "clean_documents",
+    "source_lang_rollup",
     "events_hourly",
     "events_sliding",
     "top_events_per_type",

@@ -134,6 +134,9 @@ QUERIES = {
     # capstone filter composition (prose gate ∧ repetition bound ∧ lang-id)
     # — one stateless pass, zero shuffles
     "clean_documents": textops.clean_documents,
+    # ROLLUP / GROUPING SETS: one fact scan + finest combiner; coarser
+    # levels derived from the key-sized finest aggregate
+    "source_lang_rollup": relational.source_lang_rollup,
     # dedup family / similarity
     "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
     # connected-component representative per near-dup doc (union-find over
@@ -414,6 +417,17 @@ ORACLE_SQL = {
         "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh_all "
         r"FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words "
         "FROM documents))"
+    ),
+    # GROUPING SETS NULL markers COALESCEd to the engine's 'ALL' literal
+    # (source/lang are never null in this table, so the marker is
+    # unambiguous); counts/sums are integer-exact
+    "source_lang_rollup": (
+        "SELECT COALESCE(source, 'ALL') AS source, "
+        "COALESCE(lang, 'ALL') AS lang, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents "
+        "GROUP BY GROUPING SETS ((source, lang), (source), ())"
     ),
     # the quality_scores prose gate ∧ dup_ngram_stats' dup_pct ≤ 20 ∧ the
     # lang_confusion en rule (s0 >= every other score) — predicates quoted

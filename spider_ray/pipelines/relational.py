@@ -1599,3 +1599,68 @@ def events_type_pivot(
         .groupby("user_id")
         .aggregate(*[Sum(nm, alias_name=nm) for nm in names])
     )
+
+
+def source_lang_rollup(sf_dir: str) -> Dataset:
+    """ROLLUP / GROUPING SETS aggregate: document counts and char totals at
+    THREE grouping levels — (source, lang), (source), grand total — with
+    the literal ``'ALL'`` as the rolled-up key value (the SQL side
+    COALESCEs its GROUPING SETS NULLs to the same literal, so the result
+    stays value-hash comparable; real source/lang values are never null in
+    this table, making the marker unambiguous).
+
+    Physical shape: ONE combiner pass aggregates the FINEST level (the q1
+    contract — the shuffle carries O(sources×langs × blocks) partial rows,
+    never documents); the coarser levels are then derived FROM the finest
+    aggregate in a single task via the rollup identity (every coarser cell
+    is a sum of finest cells) — the fact table is scanned and shuffled
+    exactly once regardless of how many grouping sets are requested.
+    Single-task contract: the finest aggregate is grouping-key-sized
+    (sources × langs), low-cardinality by the nature of rollup keys."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "n_docs", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")]
+        )
+        # by-name selection — see source_counts for why not rename_columns
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "n_docs": g.column("n_docs_sum"),
+                "total_chars": g.column("n_chars_sum"),
+            }
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+    def rollup(d: pd.DataFrame) -> pd.DataFrame:
+        cols = ["source", "lang", "n_docs", "total_chars"]
+        lvl1 = d.groupby("source", as_index=False)[["n_docs", "total_chars"]].sum()
+        lvl1["lang"] = "ALL"
+        lvl0 = pd.DataFrame(
+            {
+                "source": ["ALL"],
+                "lang": ["ALL"],
+                "n_docs": [d["n_docs"].sum()],
+                "total_chars": [d["total_chars"].sum()],
+            }
+        )
+        return pd.concat([d[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+
+    # ONE task over the key-sized finest table (not final_merge: the rollup
+    # finalizer is not idempotent, and its input is already globally final)
+    return finest.repartition(1).map_batches(
+        rollup, batch_format="pandas", batch_size=None
+    )

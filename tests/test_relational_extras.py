@@ -764,3 +764,43 @@ def test_clean_documents_each_gate_fires(tmp_path):
     want = _df(con.execute(ORACLE_SQL["clean_documents"]).fetch_df())
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
     assert got["doc_id"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_lang_rollup_levels(tmp_path):
+    """Planted rollup: the three grouping levels are all present, the
+    coarser cells equal sums of finest cells, and the table matches the
+    GROUPING SETS oracle."""
+    from spider_ray.pipelines.registry import ORACLE_SQL
+    from spider_ray.pipelines.relational import source_lang_rollup
+
+    rows = [
+        ("web", "en", 10),
+        ("web", "en", 20),
+        ("web", "de", 5),
+        ("books", "en", 100),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows]),
+                "lang": pa.array([r[1] for r in rows]),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _df(source_lang_rollup(str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _df(con.execute(ORACLE_SQL["source_lang_rollup"]).fetch_df())
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    g = got.set_index(["source", "lang"])
+    assert g.loc[("web", "ALL"), "n_docs"] == 3
+    assert g.loc[("web", "ALL"), "total_chars"] == 35
+    assert g.loc[("ALL", "ALL"), "n_docs"] == 4
+    assert g.loc[("ALL", "ALL"), "total_chars"] == 135
+    assert len(got) == 3 + 2 + 1  # finest + per-source + grand total
