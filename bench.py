@@ -174,6 +174,12 @@ QUERY_BENCH = [
     "embedding_near_dup_lsh",
     "shingle_stats",
     "frame_sample",
+    "q5_revenue_by_nation",
+    "latest_event_per_user",
+    "doc_length_histogram",
+    "repeat_buyers",
+    "part_brand_stats",
+    "high_value_lineitem_stats",
 ]
 
 

@@ -110,6 +110,19 @@ QUERIES = {
     "order_lineitem_counts": relational.order_lineitem_counts,
     # PIVOT to a fixed column vocabulary (wide per-user type counts)
     "events_type_pivot": relational.events_type_pivot,
+    # TPC-H-Q5-shaped 5-table join chain (one fact⋈fact shuffle +
+    # broadcast dimensions; revenue per same-nation customer/supplier)
+    "q5_revenue_by_nation": relational.q5_revenue_by_nation,
+    # ARGMAX per group (latest event per user; partial argmax combiner)
+    "latest_event_per_user": relational.latest_event_per_user,
+    # fixed-width histogram over document length
+    "doc_length_histogram": relational.doc_length_histogram,
+    # set INTERSECTION over a keyed stream (users with click AND purchase)
+    "repeat_buyers": relational.repeat_buyers,
+    # grouped aggregate over the part catalog (count/sum/max)
+    "part_brand_stats": relational.part_brand_stats,
+    # bloom-prefiltered exact semi-join (high-value orders' lineitems)
+    "high_value_lineitem_stats": relational.high_value_lineitem_stats,
     # text analysis
     "token_counts": textops.token_counts,
     "bpe_token_counts": textops.bpe_token_counts,
@@ -428,6 +441,50 @@ ORACLE_SQL = {
         "CAST(sum(n_chars) AS BIGINT) AS total_chars "
         "FROM documents "
         "GROUP BY GROUPING SETS ((source, lang), (source), ())"
+    ),
+    "q5_revenue_by_nation": (
+        "SELECT n_name, CAST(sum("
+        "CAST(round(l_extendedprice*100) AS BIGINT)"
+        "*(100-CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4 "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE c_nationkey = s_nationkey "
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1999-01-01' "
+        "GROUP BY n_name"
+    ),
+    "latest_event_per_user": (
+        "SELECT user_id, ts, event_id, event_type FROM ("
+        "SELECT user_id, ts, event_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+    ),
+    "doc_length_histogram": (
+        "SELECT n_chars // 50 AS bin, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY n_chars // 50"
+    ),
+    "repeat_buyers": (
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT "
+        "SELECT user_id FROM events WHERE event_type = 'purchase'"
+    ),
+    "part_brand_stats": (
+        "SELECT p_brand, count(*) AS n_parts, "
+        "CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS retail_c, "
+        "CAST(max(p_size) AS BIGINT) AS max_size FROM part GROUP BY p_brand"
+    ),
+    # the engine's bloom is a PREfilter only — exactness comes from the
+    # shard semi-join verify, so the plain IN-subquery is the oracle
+    "high_value_lineitem_stats": (
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c "
+        "FROM lineitem WHERE l_orderkey IN ("
+        "SELECT o_orderkey FROM orders "
+        "WHERE CAST(round(o_totalprice*100) AS BIGINT) >= 45000000) "
+        "GROUP BY l_returnflag"
     ),
     # the quality_scores prose gate ∧ dup_ngram_stats' dup_pct ≤ 20 ∧ the
     # lang_confusion en rule (s0 >= every other score) — predicates quoted

@@ -1664,3 +1664,532 @@ def source_lang_rollup(sf_dir: str) -> Dataset:
     return finest.repartition(1).map_batches(
         rollup, batch_format="pandas", batch_size=None
     )
+
+
+def q5_revenue_by_nation(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1999-01-01",
+    num_shards: int | None = None,
+) -> Dataset:
+    """TPC-H-Q5-shaped multi-way join: lineitem revenue per nation where the
+    ordering customer and the line's supplier sit in the SAME nation, over a
+    two-year order-date window — the widest join chain in the surface
+    (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation).
+
+    Physical plan (one fact⋈fact shuffle, everything else broadcast):
+    - supplier→nationkey, customer→nationkey and nationkey→name are
+      DIMENSION lookups, shipped once via ``ray.put`` as sorted parallel
+      numpy arrays (the orders_by_segment pattern). customer is the one
+      that grows with the fact tables; at a truly fact-sized customer the
+      q3 ``broadcast_customer=False`` semi-join shape applies unchanged
+      (demonstrated there, not duplicated here).
+    - orders ⋈ lineitem is the q3 tagged-union hash shuffle on
+      ``hash(o_orderkey) % P``. The lineitem side PARTIAL-aggregates
+      revenue per (orderkey, supplier-nation) inside each batch before the
+      exchange — the shuffle carries one row per (orderkey, s_nat, block),
+      never one per lineitem.
+    - each shard probes orders' (orderkey → customer-nation) with one
+      searchsorted, keeps rows where the nations match, and emits per-nation
+      revenue partials; the final exchange is nation-sized (≤25 rows × P).
+
+    Revenue uses the q1 integer contract (``cents(extprice) × (100 −
+    cents(discount))``) so partial sums match DuckDB bit-exactly."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    lo_us = np.int64(np.datetime64(date_lo, "us").astype(np.int64))
+    hi_us = np.int64(np.datetime64(date_hi, "us").astype(np.int64))
+
+    def _sorted_lookup(table: str, key: str, val: str):
+        t = pq.read_table(_t(sf_dir, table), columns=[key, val])
+        k = t.column(key).to_numpy().astype(np.int64)
+        v = t.column(val).to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], v[order]
+
+    sup_ref = ray.put(_sorted_lookup("supplier", "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_sorted_lookup("customer", "c_custkey", "c_nationkey"))
+
+    def _probe(keys_sorted, vals, probe):
+        # inner-join semantics: the generator guarantees FK integrity, but
+        # misses (empty dimension) drop the row rather than emitting junk
+        if not len(keys_sorted):
+            return np.full(len(probe), -1, dtype=np.int64)
+        pos = np.minimum(np.searchsorted(keys_sorted, probe), len(keys_sorted) - 1)
+        out = vals[pos].copy()
+        out[keys_sorted[pos] != probe] = -1
+        return out
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def orders_side(b: pa.Table) -> pd.DataFrame:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        ck, cv = get_broadcast(cust_ref)
+        dt = b.column("o_orderdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = (dt >= lo_us) & (dt < hi_us)
+        key = b.column("o_orderkey").to_numpy()[keep]
+        c_nat = _probe(ck, cv, b.column("o_custkey").to_numpy()[keep])
+        ok = c_nat >= 0
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key[ok]) % num_shards).astype(np.int64),
+                "_t": np.zeros(int(ok.sum()), dtype=np.int8),
+                "o_orderkey": key[ok],
+                "nat": c_nat[ok],
+                "revenue_c4": np.zeros(int(ok.sum()), dtype=np.int64),
+            }
+        )
+
+    def line_side(b: pa.Table) -> pd.DataFrame:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        sk, sv = get_broadcast(sup_ref)
+        key = b.column("l_orderkey").to_numpy()
+        s_nat = _probe(sk, sv, b.column("l_suppkey").to_numpy())
+        rev = _cents(b.column("l_extendedprice").to_numpy()) * (
+            100 - _cents(b.column("l_discount").to_numpy())
+        )
+        ok = s_nat >= 0
+        key, s_nat, rev = key[ok], s_nat[ok], rev[ok]
+        if not len(key):  # filter can empty a batch; reduceat needs rows
+            return pd.DataFrame(
+                {
+                    "_s": np.array([], dtype=np.int64),
+                    "_t": np.array([], dtype=np.int8),
+                    "o_orderkey": np.array([], dtype=np.int64),
+                    "nat": np.array([], dtype=np.int64),
+                    "revenue_c4": np.array([], dtype=np.int64),
+                }
+            )
+        # per-batch PARTIAL per (orderkey, s_nat) — the q1 combiner pattern
+        order = np.lexsort((s_nat, key))
+        key, s_nat, rev = key[order], s_nat[order], rev[order]
+        new = np.r_[True, (key[1:] != key[:-1]) | (s_nat[1:] != s_nat[:-1])]
+        starts = np.flatnonzero(new)
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key[starts]) % num_shards).astype(np.int64),
+                "_t": np.ones(len(starts), dtype=np.int8),
+                "o_orderkey": key[starts],
+                "nat": s_nat[starts],
+                "revenue_c4": np.add.reduceat(rev, starts),
+            }
+        )
+
+    tagged = orders.map_batches(orders_side, batch_format="pyarrow").union(
+        line.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def shard_join(g: pd.DataFrame) -> pa.Table:
+        t = g["_t"].to_numpy()
+        o = g.loc[t == 0]
+        ok = o["o_orderkey"].to_numpy()
+        oc = o["nat"].to_numpy()
+        order = np.argsort(ok, kind="stable")
+        ok, oc = ok[order], oc[order]
+        li = g.loc[t == 1]
+        lk = li["o_orderkey"].to_numpy()
+        c_nat = _probe(ok, oc, lk)
+        hit = c_nat == li["nat"].to_numpy()
+        nat = li["nat"].to_numpy()[hit]
+        rev = li["revenue_c4"].to_numpy()[hit]
+        if len(nat):
+            order = np.argsort(nat, kind="stable")
+            nat, rev = nat[order], rev[order]
+            starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+            nat = nat[starts]
+            rev = np.add.reduceat(rev, starts)
+        return pa.table(
+            {
+                "nat": pa.array(nat, pa.int64()),
+                "revenue_c4": pa.array(rev, pa.int64()),
+            }
+        )
+
+    per_nat = (
+        tagged.groupby("_s")
+        .map_groups(shard_join, batch_format="pandas")
+        .groupby("nat")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+    )
+
+    # nation-name attach: ≤25 rows by contract — a driver-side lookup, not
+    # a join stage
+    nt = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nk = nt.column("n_nationkey").to_numpy().astype(np.int64)
+    names = np.asarray(nt.column("n_name").to_pylist(), dtype=object)
+    order = np.argsort(nk, kind="stable")
+    nk, names = nk[order], names[order]
+
+    def attach_name(b: pa.Table) -> pa.Table:
+        nat = b.column("nat").to_numpy()
+        pos = np.minimum(np.searchsorted(nk, nat), max(len(nk) - 1, 0))
+        return pa.table(
+            {
+                "n_name": pa.array(np.take(names, pos), pa.string()),
+                "revenue_c4": b.column("revenue_c4"),
+            }
+        )
+
+    return per_nat.map_batches(attach_name, batch_format="pyarrow")
+
+
+def latest_event_per_user(sf_dir: str, num_shards: int | None = None) -> Dataset:
+    """ARGMAX-per-group: each user's most recent event (tie-break: larger
+    event_id), the per-entity-state extraction every incremental pipeline
+    needs ("current session", "last seen", "latest profile").
+
+    Physical shape: per-batch PARTIAL argmax (one lexsort + last-per-key
+    slice — the shuffle carries one candidate row per (user, block), never
+    one per event), then a hash-shard groupby on user where the same
+    vectorized reduce picks the global winner. Timestamps cross the shuffle
+    as int64 epoch-µs (the events_hourly contract) and come back as
+    timestamp[us] at the end."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def _argmax_rows(user, ts, eid, etype):
+        if not len(user):
+            return user, ts, eid, etype
+        # last row per user under (user, ts, event_id) order == argmax
+        order = np.lexsort((eid, ts, user))
+        user, ts, eid = user[order], ts[order], eid[order]
+        etype = etype[order] if len(etype) else etype
+        last = np.r_[user[1:] != user[:-1], True]
+        return user[last], ts[last], eid[last], etype[last]
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ts = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        user, ts, eid, etype = _argmax_rows(
+            b.column("user_id").to_numpy(),
+            ts,
+            b.column("event_id").to_numpy(),
+            np.asarray(b.column("event_type").to_pylist(), dtype=object),
+        )
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(user) % num_shards).astype(np.int64),
+                "user_id": user,
+                "ts_us": ts,
+                "event_id": eid,
+                "event_type": etype,
+            }
+        )
+
+    def shard_final(g: pd.DataFrame) -> pa.Table:
+        user, ts, eid, etype = _argmax_rows(
+            g["user_id"].to_numpy(),
+            g["ts_us"].to_numpy(),
+            g["event_id"].to_numpy(),
+            g["event_type"].to_numpy(),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(user, pa.int64()),
+                "ts": pa.array(ts.astype("datetime64[us]")),
+                "event_id": pa.array(eid, pa.int64()),
+                "event_type": pa.array(etype, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(shard_final, batch_format="pandas")
+    )
+
+
+def doc_length_histogram(sf_dir: str, bin_width: int = 50) -> Dataset:
+    """Fixed-width HISTOGRAM over document length — the distribution probe
+    run before choosing filter thresholds at corpus scale. Per-batch
+    partial (sort + reduceat per bin — bin count is data-bounded, the
+    shuffle carries O(bins × blocks) rows) then a tiny groupby sum; all
+    integer, so bit-exact vs the SQL ``n_chars // w`` oracle."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    w = np.int64(bin_width)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.column("n_chars").to_numpy()
+        if not len(n):
+            return pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "total_chars": pa.array([], pa.int64()),
+                }
+            )
+        bins = n // w
+        order = np.argsort(bins, kind="stable")
+        bins, n = bins[order], n[order]
+        starts = np.flatnonzero(np.r_[True, bins[1:] != bins[:-1]])
+        return pa.table(
+            {
+                "bin": pa.array(bins[starts], pa.int64()),
+                "n_docs": pa.array(
+                    np.diff(np.append(starts, len(bins))).astype(np.int64)
+                ),
+                "total_chars": pa.array(np.add.reduceat(n, starts))
+                if len(n)
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("bin").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_chars", alias_name="total_chars"),
+    )
+
+
+def repeat_buyers(sf_dir: str) -> Dataset:
+    """Set INTERSECTION over a keyed fact stream: users with BOTH a click
+    and a purchase event (the audience-segmentation shape; SQL INTERSECT).
+
+    Physical shape: each batch reduces to at most one (user, has_click,
+    has_purchase) flag row per user seen in the batch (arrow group_by max),
+    a hash groupby ORs the flags, and a filter keeps the intersection —
+    rows shuffled = O(users × blocks) flag rows, output = answer-sized."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        mask = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        t = b.filter(mask)
+        is_p = pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int64())
+        flags = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "has_click": pc.subtract(pa.scalar(1, pa.int64()), is_p),
+                "has_purchase": is_p,
+            }
+        )
+        g = flags.group_by("user_id").aggregate(
+            [("has_click", "max"), ("has_purchase", "max")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "has_click": g.column("has_click_max"),
+                "has_purchase": g.column("has_purchase_max"),
+            }
+        )
+
+    both = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("has_click", alias_name="has_click"),
+            Max("has_purchase", alias_name="has_purchase"),
+        )
+    )
+    def keep_both(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(b.column("has_click"), 1), pc.equal(b.column("has_purchase"), 1)
+        )
+        return b.filter(mask).select(["user_id"])
+
+    return both.map_batches(keep_both, batch_format="pyarrow")
+
+
+def part_brand_stats(sf_dir: str) -> Dataset:
+    """Grouped aggregate over the part catalog (the one table the surface
+    did not yet touch): per brand — part count, integer-cents retail-price
+    sum, max size. The q1 combiner contract."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "n_parts": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "retail_c": pa.array(_cents(b.column("p_retailprice").to_numpy())),
+                "max_size": pc.cast(b.column("p_size"), pa.int64()),
+            }
+        )
+        g = t.group_by("p_brand").aggregate(
+            [("n_parts", "sum"), ("retail_c", "sum"), ("max_size", "max")]
+        )
+        return pa.table(
+            {
+                "p_brand": g.column("p_brand"),
+                "n_parts": g.column("n_parts_sum"),
+                "retail_c": g.column("retail_c_sum"),
+                "max_size": g.column("max_size_max"),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Sum("n_parts", alias_name="n_parts"),
+        Sum("retail_c", alias_name="retail_c"),
+        Max("max_size", alias_name="max_size"),
+    )
+
+
+def _bloom_positions(keys: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit positions for int64 keys: classic double hashing
+    (h1 + i*h2 mod m, h2 forced odd) over two independent
+    ``pd.util.hash_array`` streams — all vectorized, no per-key Python."""
+    h1 = pd.util.hash_array(keys.astype(np.int64))
+    h2 = pd.util.hash_array(keys.astype(np.int64) ^ np.int64(-0x61C8864680B583EB)) | 1
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def high_value_lineitem_stats(
+    sf_dir: str,
+    min_total_cents: int = 45_000_000,  # $450,000.00 in integer cents
+    bloom_bits: int = 1 << 22,
+    n_hashes: int = 4,
+    num_shards: int | None = None,
+) -> Dataset:
+    """BLOOM-prefiltered exact semi-join: lineitem stats (count + base-price
+    cents per returnflag) restricted to high-value orders. The scale
+    pattern this demonstrates: when the filtered build side is too big to
+    broadcast exactly but its BLOOM is cheap (~1.2 bits/key at these
+    parameters vs 64 bits/key for the sorted-array broadcast), probe the
+    fact table against the bloom FIRST so only survivors (true matches + a
+    tunable false-positive sliver) enter the exact shuffle semi-join — the
+    exchange shrinks from every lineitem to ~the answer.
+
+    Build: each orders batch emits its bloom bit positions (uint32-sized
+    ints, ≈ n_hashes × matching keys per batch); the driver ORs them into
+    one bitmask and broadcasts it via ``ray.put``. At a 10^9-key build side
+    the positions stream becomes a tree-OR of per-block masks instead —
+    documented seam, same contract. Exactness does NOT depend on the bloom:
+    every survivor is re-verified against the true key set in the shard
+    semi-join below, so false positives cost only shuffle bytes."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    thresh = np.int64(min_total_cents)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def order_keys(b: pa.Table) -> pa.Table:
+        key = b.column("o_orderkey").to_numpy()
+        keep = _cents(b.column("o_totalprice").to_numpy()) >= thresh
+        return pa.table({"o_orderkey": pa.array(key[keep], pa.int64())})
+
+    keys_ds = orders.map_batches(order_keys, batch_format="pyarrow")
+
+    def to_positions(b: pa.Table) -> pa.Table:
+        pos = _bloom_positions(b.column("o_orderkey").to_numpy(), bloom_bits, n_hashes)
+        return pa.table({"pos": pa.array(np.unique(pos), pa.int64())})
+
+    # positions stream is n_hashes × matching-keys ints — answer-sized for a
+    # selective predicate; collected once to build the driver-side mask
+    mask = np.zeros(bloom_bits, dtype=bool)
+    for blk in keys_ds.map_batches(to_positions, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        mask[blk.column("pos").to_numpy()] = True
+    bloom_ref = ray.put(np.packbits(mask))
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def line_side(b: pa.Table) -> pd.DataFrame:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        packed = get_broadcast(bloom_ref)
+        key = b.column("l_orderkey").to_numpy()
+        pos = _bloom_positions(key, bloom_bits, n_hashes)
+        hit = (
+            (packed[pos >> 3] & (np.uint8(0x80) >> (pos & 7).astype(np.uint8))) != 0
+        ).all(axis=1)
+        key = key[hit]
+        if not len(key):  # bloom can empty a batch; reduceat needs rows
+            return pd.DataFrame(
+                {
+                    "_s": np.array([], dtype=np.int64),
+                    "_t": np.array([], dtype=np.int8),
+                    "o_orderkey": np.array([], dtype=np.int64),
+                    "l_returnflag": np.array([], dtype=object),
+                    "n_items": np.array([], dtype=np.int64),
+                    "sum_base_c": np.array([], dtype=np.int64),
+                }
+            )
+        flag = np.asarray(b.column("l_returnflag").to_pylist(), dtype=object)[hit]
+        base = _cents(b.column("l_extendedprice").to_numpy())[hit]
+        # partial per (orderkey, flag) before the exchange
+        fcode, fvals = pd.factorize(flag, sort=True)
+        order = np.lexsort((fcode, key))
+        key, fcode, base = key[order], fcode[order], base[order]
+        starts = np.flatnonzero(
+            np.r_[True, (key[1:] != key[:-1]) | (fcode[1:] != fcode[:-1])]
+        )
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key[starts]) % num_shards).astype(np.int64),
+                "_t": np.ones(len(starts), dtype=np.int8),
+                "o_orderkey": key[starts],
+                "l_returnflag": np.take(fvals, fcode[starts])
+                if len(starts)
+                else np.array([], dtype=object),
+                "n_items": np.diff(np.append(starts, len(key))).astype(np.int64),
+                "sum_base_c": np.add.reduceat(base, starts)
+                if len(key)
+                else np.array([], dtype=np.int64),
+            }
+        )
+
+    def keys_side(b: pa.Table) -> pd.DataFrame:
+        key = b.column("o_orderkey").to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
+                "_t": np.zeros(len(key), dtype=np.int8),
+                "o_orderkey": key,
+                "l_returnflag": np.array([""] * len(key), dtype=object),
+                "n_items": np.zeros(len(key), dtype=np.int64),
+                "sum_base_c": np.zeros(len(key), dtype=np.int64),
+            }
+        )
+
+    tagged = keys_ds.map_batches(keys_side, batch_format="pyarrow").union(
+        line.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def shard_verify(g: pd.DataFrame) -> pa.Table:
+        t = g["_t"].to_numpy()
+        ok = np.sort(g.loc[t == 0, "o_orderkey"].to_numpy())
+        li = g.loc[t == 1]
+        lk = li["o_orderkey"].to_numpy()
+        if len(ok):
+            pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+            hit = ok[pos] == lk
+        else:
+            hit = np.zeros(len(lk), dtype=bool)
+        sub = li.loc[hit]
+        agg = sub.groupby("l_returnflag", as_index=False)[
+            ["n_items", "sum_base_c"]
+        ].sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(agg["l_returnflag"], pa.string()),
+                "n_items": pa.array(agg["n_items"].to_numpy(), pa.int64()),
+                "sum_base_c": pa.array(agg["sum_base_c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        tagged.groupby("_s")
+        .map_groups(shard_verify, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+        )
+    )

@@ -804,3 +804,112 @@ def test_source_lang_rollup_levels(tmp_path):
     assert g.loc[("ALL", "ALL"), "n_docs"] == 4
     assert g.loc[("ALL", "ALL"), "total_chars"] == 135
     assert len(got) == 3 + 2 + 1  # finest + per-source + grand total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latest_event_tie_break(tmp_path):
+    """Two events on the same (user, ts) resolve to the larger event_id —
+    the documented argmax tie-break — and the whole output matches the
+    row_number SQL on the same synthetic table."""
+    from spider_ray.pipelines.relational import latest_event_per_user
+
+    _write_events(
+        tmp_path,
+        event_id=[7, 3, 11, 2, 5],
+        ts=[
+            "2024-01-01 10:00:00",
+            "2024-01-01 10:00:00",  # same user+ts as event 7: 11 loses? no — id 3 < 7
+            "2024-01-02 09:00:00",
+            "2024-01-01 08:00:00",
+            "2024-01-02 09:00:00",  # user 2 tie at 09:00 → event 11 wins (11 > 5)
+        ],
+        user_id=[1, 1, 2, 2, 2],
+        event_type=["a", "b", "c", "d", "e"],
+    )
+    got = _df(latest_event_per_user(str(tmp_path), num_shards=3))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = _df(
+        con.execute(
+            "SELECT user_id, ts, event_id, event_type FROM ("
+            "SELECT user_id, ts, event_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1"
+        ).fetch_df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by_user = got.set_index("user_id")
+    assert int(by_user.loc[1, "event_id"]) == 7
+    assert int(by_user.loc[2, "event_id"]) == 11
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_join_exact_under_heavy_false_positives():
+    """Exactness must NOT depend on the bloom: a 64-bit single-hash bloom
+    (near-100% false-positive rate at this key count) produces the same
+    answer as the default 4M-bit bloom — every survivor is re-verified in
+    the shard semi-join."""
+    from spider_ray.pipelines.relational import high_value_lineitem_stats
+
+    tiny = _df(high_value_lineitem_stats(SF001, bloom_bits=64, n_hashes=1))
+    full = _df(high_value_lineitem_stats(SF001))
+    pd.testing.assert_frame_equal(tiny, full)
+    assert len(full) >= 1 and (full["n_items"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q5_empty_date_window_and_odd_shards():
+    """A zero-width order-date window yields an empty (schema-stable)
+    result; an odd shard count changes nothing (partition invariance)."""
+    from spider_ray.pipelines.relational import q5_revenue_by_nation
+
+    empty = _df(
+        q5_revenue_by_nation(SF001, date_lo="1997-01-01", date_hi="1997-01-01")
+    )
+    assert len(empty) == 0
+    # (an all-empty Dataset surfaces as a zero-column frame through
+    # to_pandas — ray's empty-block schema erasure; row count is the claim)
+    a = _df(q5_revenue_by_nation(SF001, num_shards=3))
+    b = _df(q5_revenue_by_nation(SF001, num_shards=16))
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_length_histogram_bin_edges(tmp_path):
+    """n_chars exactly on a bin boundary lands in the HIGHER bin (floor
+    division contract): 49→bin 0, 50→bin 1, 100→bin 2."""
+    from spider_ray.pipelines.relational import doc_length_histogram
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "n_chars": pa.array([0, 49, 50, 100], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _df(doc_length_histogram(str(tmp_path), bin_width=50))
+    want = pd.DataFrame(
+        {"bin": [0, 1, 2], "n_docs": [2, 1, 1], "total_chars": [49, 50, 100]}
+    )
+    pd.testing.assert_frame_equal(got, _df(want), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repeat_buyers_requires_both_types(tmp_path):
+    """Only users with ≥1 click AND ≥1 purchase survive; click-only,
+    purchase-only and other-type users are excluded."""
+    from spider_ray.pipelines.relational import repeat_buyers
+
+    _write_events(
+        tmp_path,
+        event_id=[1, 2, 3, 4, 5, 6],
+        ts=["2024-01-01"] * 6,
+        user_id=[10, 10, 20, 30, 40, 40],
+        event_type=["click", "purchase", "click", "purchase", "view", "view"],
+    )
+    got = _df(repeat_buyers(str(tmp_path)))
+    assert got["user_id"].tolist() == [10]
