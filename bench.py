@@ -180,6 +180,8 @@ QUERY_BENCH = [
     "repeat_buyers",
     "part_brand_stats",
     "high_value_lineitem_stats",
+    "pagerank_docs",
+    "kmeans_clusters",
 ]
 
 

@@ -575,3 +575,117 @@ def lsh_topk(sf_dir: str, k: int = 10, query_id: int = 0, probe_hamming: int = 1
     merged = partials.to_pandas()
     order = np.lexsort((merged["vec_id"].to_numpy(), -merged["cos"].to_numpy()))[:k]
     return merged.iloc[order].reset_index(drop=True)
+
+
+def kmeans_clusters(
+    sf_dir: str,
+    k: int = 8,
+    iterations: int = 5,
+    quant_scale: int = 1 << 16,
+) -> Dataset:
+    """Deterministic QUANTIZED Lloyd's k-means over the embedding table —
+    the iterative-refinement complement to ``ivf_ingest``'s one-shot
+    sampled centroids. Returns (cluster_id, n_vecs) after ``iterations``
+    assignment/update rounds.
+
+    Determinism contract (why quantized): embeddings are floored to int64
+    at ``quant_scale``; distances are exact integer arithmetic
+    (|q|² − 2·q·c + |c|² via int64 matmul), centroid updates are integer
+    floor-mean — so partial sums are addition-order-free and the result is
+    identical at any parallelism/block split (a float k-means could flip a
+    near-tie assignment depending on summation order). Ties in the argmin
+    go to the LOWEST cluster id (np.argmin first-occurrence). Init =
+    the k lowest vec_ids' vectors (parquet predicate pushdown).
+
+    Scale shape: each iteration is ONE streaming pass — centroids broadcast
+    via ``ray.put`` (k × dim int64, tiny), every batch computes a matmul
+    assignment and emits at most k partial rows (count + packed int64 sum
+    vector), and the driver reduces k × n_blocks rows (answer-sized by
+    contract) to the next centroid matrix. No shuffle at all until the
+    final k-row count aggregate."""
+    ds = _emb(sf_dir)
+
+    # init: the k lowest vec_ids (row-group pushdown, never a full scan)
+    init_tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    if init_tbl.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"cluster_id": pa.array([], pa.int64()), "n_vecs": pa.array([], pa.int64())}
+            )
+        )
+    k = init_tbl.num_rows  # fewer vectors than k: every vector a centroid
+    centroids = np.floor(
+        np.array(init_tbl.column("embedding").to_pylist(), dtype=np.float64)
+        * quant_scale
+    ).astype(np.int64)
+
+    def _quant(batch: pd.DataFrame) -> np.ndarray:
+        return np.floor(_to_matrix(batch) * quant_scale).astype(np.int64)
+
+    def _assign(q: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # exact integer squared distance; argmin tie → lowest cluster id
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iterations):
+        cent_ref = ray.put(centroids)
+
+        def partial_sums(batch: pd.DataFrame) -> pd.DataFrame:
+            from spider_ray.stages.broadcast import get_broadcast
+
+            cent = get_broadcast(cent_ref)
+            q = _quant(batch)
+            a = _assign(q, cent)
+            counts = np.bincount(a, minlength=len(cent)).astype(np.int64)
+            sums = np.zeros((len(cent), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, q)
+            nz = np.flatnonzero(counts)
+            return pd.DataFrame(
+                {
+                    "cluster_id": nz.astype(np.int64),
+                    "n": counts[nz],
+                    "vec_sum": [sums[c].tobytes() for c in nz],
+                }
+            )
+
+        # k × n_blocks partial rows — answer-sized driver reduce by contract
+        agg = ds.map_batches(
+            partial_sums, batch_format="pandas", batch_size=4096
+        ).to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(centroids)
+        for cid, n, raw in zip(
+            agg["cluster_id"].to_numpy(), agg["n"].to_numpy(), agg["vec_sum"]
+        ):
+            counts[cid] += n
+            sums[cid] += np.frombuffer(raw, dtype=np.int64)
+        nz = counts > 0
+        centroids = centroids.copy()
+        centroids[nz] = sums[nz] // counts[nz, None]  # empty cluster keeps its seat
+
+    cent_ref = ray.put(centroids)
+
+    def final_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        cent = get_broadcast(cent_ref)
+        a = _assign(_quant(batch), cent)
+        counts = np.bincount(a, minlength=len(cent)).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"cluster_id": nz.astype(np.int64), "n_vecs": counts[nz]})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(final_counts, batch_format="pandas", batch_size=4096)
+        .groupby("cluster_id")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+    )

@@ -1,0 +1,175 @@
+"""Iterative graph analytics over the document corpus — the link-analysis
+family a web-crawl engine feeds (reference scope: the crawler produces the
+page/link graph; ranking it is the canonical downstream consumer).
+
+``pagerank_docs`` runs INTEGER-ARITHMETIC PageRank over a deterministic
+synthetic link graph derived from doc_ids (every node has exactly
+``_FANOUT`` out-edges ``(doc_id * A + B*t) % N``), so engine and SQL oracle
+agree bit-exactly: all updates are int64 adds and floor divisions — no
+float summation order anywhere. The oracle unrolls the same K iterations as
+chained CTEs (standard SQL forbids aggregation in a recursive CTE member).
+
+Scale shape: one iteration = one ``map_batches`` (emit the node's teleport
+row plus one share row per out-edge, partial-aggregated per destination
+inside the batch — sort + reduceat, the q1 combiner) + one hash groupby
+sum keyed on the destination node. The shuffle carries two-int64 rows,
+O(distinct dsts per block), never the text. K iterations chain lazily into
+one streaming DAG; nothing materializes until the final top-k, which is a
+per-block partial top-k + an answer-sized driver merge (the brute_topk
+pattern). Rank state per iteration is node-sized (16 B/row) — at the
+10^10-page design point it lives in the object store across the shuffle,
+exactly like one crawl-frontier round.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+# synthetic edge rule constants — shared verbatim with the SQL oracle
+_EDGE_A = 2654435761  # Knuth multiplicative-hash constant
+_EDGE_B = 1000003
+_FANOUT = 3
+_SCALE = 1_000_000_000  # initial integer rank per node
+_TELEPORT = 150_000_000  # floor(0.15 * _SCALE)
+_SHARE_DEN = 100 * _FANOUT  # share = (85 * r) // (100 * fanout)
+
+
+def _doc_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def pagerank_docs(
+    sf_dir: str, iterations: int = 5, k: int = 20
+) -> Dataset:
+    """Top-k documents by integer PageRank after ``iterations`` rounds over
+    the synthetic doc_id link graph. Returns (doc_id, pr) ordered by
+    (pr DESC, doc_id) — all-integer, hash-stable vs the unrolled-CTE SQL.
+
+    doc_id contract: ids are non-negative (any gaps are fine — the modulo
+    target space is [0, N) but a dst with no matching node simply drops in
+    the LEFT-JOIN/groupby on both engines identically)."""
+    n_docs = pq.ParquetFile(_doc_path(sf_dir)).metadata.num_rows
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "pr": pa.array([], pa.int64())})
+        )
+    from spider_ray.blockutil import read_clean_parquet
+
+    docs = read_clean_parquet(_doc_path(sf_dir), columns=["doc_id"])
+
+    def init(b: pa.Table) -> pa.Table:
+        node = b.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "r": pa.array(np.full(len(node), _SCALE, dtype=np.int64)),
+            }
+        )
+
+    ranks = docs.map_batches(init, batch_format="pyarrow")
+
+    def step(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy()
+        r = b.column("r").to_numpy()
+        if not len(node):
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                    "is_node": pa.array([], pa.int64()),
+                }
+            )
+        share = (85 * r) // _SHARE_DEN
+        dst = np.concatenate(
+            [
+                (node * _EDGE_A + _EDGE_B * t) % n_docs
+                for t in range(1, _FANOUT + 1)
+            ]
+            + [node]  # every node's own teleport row keeps the node set intact
+        )
+        val = np.concatenate(
+            [np.tile(share, _FANOUT), np.full(len(node), _TELEPORT, dtype=np.int64)]
+        )
+        # only the teleport row marks a REAL node: a dst landing on a doc_id
+        # gap must not mint a phantom node (the SQL LEFT JOIN drops it)
+        is_node = np.concatenate(
+            [
+                np.zeros(len(node) * _FANOUT, dtype=np.int64),
+                np.ones(len(node), dtype=np.int64),
+            ]
+        )
+        # partial per destination before the exchange (q1 combiner)
+        order = np.argsort(dst, kind="stable")
+        dst, val, is_node = dst[order], val[order], is_node[order]
+        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(dst[starts], pa.int64()),
+                "r": pa.array(np.add.reduceat(val, starts)),
+                "is_node": pa.array(np.add.reduceat(is_node, starts)),
+            }
+        )
+
+    def drop_phantoms(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = b.filter(pc.greater(b.column("is_node"), 0))
+        return kept.select(["node", "r"])
+
+    for _ in range(iterations):
+        ranks = (
+            ranks.map_batches(step, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(
+                Sum("r", alias_name="r"), Sum("is_node", alias_name="is_node")
+            )
+            .map_batches(drop_phantoms, batch_format="pyarrow")
+        )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy()
+        r = b.column("r").to_numpy()
+        order = np.lexsort((node, -r))[:k]
+        return pa.table(
+            {"doc_id": pa.array(node[order], pa.int64()), "pr": pa.array(r[order])}
+        )
+
+    partials = ranks.map_batches(local_topk, batch_format="pyarrow")
+    merged = partials.to_pandas()  # ≤ k × n_blocks rows — answer-sized
+    order = np.lexsort((merged["doc_id"].to_numpy(), -merged["pr"].to_numpy()))[:k]
+    return ray.data.from_pandas(merged.iloc[order].reset_index(drop=True))
+
+
+def pagerank_sql(iterations: int = 5, k: int = 20) -> str:
+    """The DuckDB oracle: identical integer arithmetic, iterations unrolled
+    as chained CTEs (aggregation is not allowed inside a recursive CTE
+    member, so fixed-K unrolling is the portable form)."""
+    parts = [
+        "WITH nn AS (SELECT count(*) AS c FROM documents), "
+        "e AS (SELECT doc_id AS src, "
+        f"(doc_id * {_EDGE_A} + {_EDGE_B} * t.t) % (SELECT c FROM nn) AS dst "
+        f"FROM documents, (SELECT unnest([{', '.join(str(t) for t in range(1, _FANOUT + 1))}]) AS t) t), "
+        f"r0 AS (SELECT doc_id AS node, CAST({_SCALE} AS BIGINT) AS r FROM documents)"
+    ]
+    for i in range(iterations):
+        parts.append(
+            f", r{i + 1} AS (SELECT d.doc_id AS node, "
+            f"CAST({_TELEPORT} + COALESCE(i.s, 0) AS BIGINT) AS r "
+            "FROM documents d LEFT JOIN ("
+            f"SELECT e.dst AS node, sum((85 * r{i}.r) // {_SHARE_DEN}) AS s "
+            f"FROM e JOIN r{i} ON e.src = r{i}.node GROUP BY e.dst) i "
+            "ON d.doc_id = i.node)"
+        )
+    parts.append(
+        f" SELECT node AS doc_id, r AS pr FROM r{iterations} "
+        f"ORDER BY r DESC, node LIMIT {k}"
+    )
+    return "".join(parts)

@@ -11,7 +11,7 @@ to HUGEINT, and rank-only (no float column) outputs for similarity queries.
 
 from __future__ import annotations
 
-from spider_ray.pipelines import ann, dedup, multimodal, relational, textops
+from spider_ray.pipelines import ann, dedup, graph, multimodal, relational, textops
 
 
 def embedding_topk_ivf_bucketed(sf_dir: str):
@@ -123,6 +123,13 @@ QUERIES = {
     "part_brand_stats": relational.part_brand_stats,
     # bloom-prefiltered exact semi-join (high-value orders' lineitems)
     "high_value_lineitem_stats": relational.high_value_lineitem_stats,
+    # iterative link analysis: integer PageRank over the synthetic doc graph
+    # (K chained share-shuffle iterations; unrolled-CTE SQL oracle)
+    "pagerank_docs": graph.pagerank_docs,
+    # iterative ML: deterministic quantized Lloyd's k-means (rows-only for
+    # the driver — no SQL can express the iteration; pytest pins it to a
+    # sequential numpy oracle)
+    "kmeans_clusters": ann.kmeans_clusters,
     # text analysis
     "token_counts": textops.token_counts,
     "bpe_token_counts": textops.bpe_token_counts,
@@ -486,6 +493,8 @@ ORACLE_SQL = {
         "WHERE CAST(round(o_totalprice*100) AS BIGINT) >= 45000000) "
         "GROUP BY l_returnflag"
     ),
+    # identical integer arithmetic, K iterations unrolled as chained CTEs
+    "pagerank_docs": graph.pagerank_sql(),
     # the quality_scores prose gate ∧ dup_ngram_stats' dup_pct ≤ 20 ∧ the
     # lang_confusion en rule (s0 >= every other score) — predicates quoted
     # verbatim from those three oracles so the composition cannot drift
