@@ -182,6 +182,7 @@ QUERY_BENCH = [
     "high_value_lineitem_stats",
     "pagerank_docs",
     "kmeans_clusters",
+    "doc_length_ranks",
 ]
 
 

@@ -123,6 +123,9 @@ QUERIES = {
     "part_brand_stats": relational.part_brand_stats,
     # bloom-prefiltered exact semi-join (high-value orders' lineitems)
     "high_value_lineitem_stats": relational.high_value_lineitem_stats,
+    # per-row global rank / CDF position (two-pass value-histogram
+    # broadcast — no global sort)
+    "doc_length_ranks": relational.doc_length_ranks,
     # iterative link analysis: integer PageRank over the synthetic doc graph
     # (K chained share-shuffle iterations; unrolled-CTE SQL oracle)
     "pagerank_docs": graph.pagerank_docs,
@@ -492,6 +495,12 @@ ORACLE_SQL = {
         "SELECT o_orderkey FROM orders "
         "WHERE CAST(round(o_totalprice*100) AS BIGINT) >= 45000000) "
         "GROUP BY l_returnflag"
+    ),
+    "doc_length_ranks": (
+        "SELECT doc_id, n_chars, "
+        "CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS n_less, "
+        "CAST(count(*) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS BIGINT) AS n_leq FROM documents"
     ),
     # identical integer arithmetic, K iterations unrolled as chained CTEs
     "pagerank_docs": graph.pagerank_sql(),

@@ -2193,3 +2193,62 @@ def high_value_lineitem_stats(
             Sum("sum_base_c", alias_name="sum_base_c"),
         )
     )
+
+
+def doc_length_ranks(sf_dir: str) -> Dataset:
+    """Per-row GLOBAL RANK / CDF position without a global sort: for every
+    document, how many documents are strictly shorter (``n_less``) and how
+    many are at-most-as-long (``n_leq`` — the cumulative-distribution
+    numerator). Integer counts, not float percentiles, so the result is
+    hash-exact vs the SQL window oracle.
+
+    Physical shape (the two-pass rank pattern): pass 1 builds the global
+    VALUE histogram — per-batch value-count partials, one groupby whose
+    exchange is distinct-value-sized, collected to the driver (bounded by
+    the value domain, NOT the row count) and turned into prefix sums; pass
+    2 broadcasts (sorted values, cum-counts) via ``ray.put`` and streams
+    the table through one searchsorted per batch. A sort-based rank would
+    shuffle every row twice; this moves each row once and the histogram
+    once."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def val_partial(b: pa.Table) -> pa.Table:
+        n = b.column("n_chars").to_numpy()
+        vals, counts = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "value": pa.array(vals, pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(val_partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # distinct-value-sized by contract
+    )
+    vals = hist["value"].to_numpy()
+    order = np.argsort(vals, kind="stable")
+    vals = vals[order]
+    counts = hist["n"].to_numpy()[order]
+    cum_leq = np.cumsum(counts)
+    cum_less = cum_leq - counts
+    rank_ref = ray.put((vals, cum_less, cum_leq))
+
+    def attach_ranks(b: pa.Table) -> pa.Table:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        v, less, leq = get_broadcast(rank_ref)
+        n = b.column("n_chars").to_numpy()
+        pos = np.searchsorted(v, n)  # every n is in v by construction
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "n_less": pa.array(np.take(less, pos)),
+                "n_leq": pa.array(np.take(leq, pos)),
+            }
+        )
+
+    return ds.map_batches(attach_ranks, batch_format="pyarrow")
