@@ -183,6 +183,9 @@ QUERY_BENCH = [
     "pagerank_docs",
     "kmeans_clusters",
     "doc_length_ranks",
+    "source_lang_cube",
+    "event_value_stats",
+    "signup_click_purchase_funnel",
 ]
 
 

@@ -126,6 +126,12 @@ QUERIES = {
     # per-row global rank / CDF position (two-pass value-histogram
     # broadcast — no global sort)
     "doc_length_ranks": relational.doc_length_ranks,
+    # CUBE grouping sets (the 2^k-sets sibling of the rollup)
+    "source_lang_cube": relational.source_lang_cube,
+    # distributed variance via sufficient statistics (n, Σx, Σx²)
+    "event_value_stats": relational.event_value_stats,
+    # ordered 3-step funnel (sequence-pattern containment per user)
+    "signup_click_purchase_funnel": relational.signup_click_purchase_funnel,
     # iterative link analysis: integer PageRank over the synthetic doc graph
     # (K chained share-shuffle iterations; unrolled-CTE SQL oracle)
     "pagerank_docs": graph.pagerank_docs,
@@ -501,6 +507,26 @@ ORACLE_SQL = {
         "CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS n_less, "
         "CAST(count(*) OVER (ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING "
         "AND CURRENT ROW) AS BIGINT) AS n_leq FROM documents"
+    ),
+    "source_lang_cube": (
+        "SELECT COALESCE(source, 'ALL') AS source, "
+        "COALESCE(lang, 'ALL') AS lang, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY CUBE (source, lang)"
+    ),
+    "event_value_stats": (
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c, "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT)) "
+        "AS BIGINT) AS sum_sq_c FROM events GROUP BY event_type"
+    ),
+    # existence of ANY ordered chain == the engine's greedy-earliest rule
+    "signup_click_purchase_funnel": (
+        "SELECT DISTINCT e1.user_id FROM events e1, events e2, events e3 "
+        "WHERE e1.event_type = 'signup' AND e2.event_type = 'click' "
+        "AND e3.event_type = 'purchase' AND e2.user_id = e1.user_id "
+        "AND e3.user_id = e1.user_id AND e2.ts > e1.ts AND e3.ts > e2.ts"
     ),
     # identical integer arithmetic, K iterations unrolled as chained CTEs
     "pagerank_docs": graph.pagerank_sql(),

@@ -2252,3 +2252,180 @@ def doc_length_ranks(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(attach_ranks, batch_format="pyarrow")
+
+
+def source_lang_cube(sf_dir: str) -> Dataset:
+    """CUBE aggregate: document counts and char totals at ALL FOUR grouping
+    levels — (source, lang), (source), (lang), grand total — completing the
+    grouping-sets family next to ``source_lang_rollup`` (which lacks the
+    (lang) slice). Same contract: one combiner pass aggregates the FINEST
+    level only; every coarser cell is derived from the key-sized finest
+    aggregate in a single task (the cube identity), so the fact table is
+    scanned and shuffled exactly once for 2^k grouping sets. 'ALL' is the
+    rolled-up marker on both engines (COALESCE on the SQL side)."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "n_docs", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "n_docs": g.column("n_docs_sum"),
+                "total_chars": g.column("n_chars_sum"),
+            }
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+    def cube(d: pd.DataFrame) -> pd.DataFrame:
+        cols = ["source", "lang", "n_docs", "total_chars"]
+        by_source = d.groupby("source", as_index=False)[["n_docs", "total_chars"]].sum()
+        by_source["lang"] = "ALL"
+        by_lang = d.groupby("lang", as_index=False)[["n_docs", "total_chars"]].sum()
+        by_lang["source"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "source": ["ALL"],
+                "lang": ["ALL"],
+                "n_docs": [d["n_docs"].sum()],
+                "total_chars": [d["total_chars"].sum()],
+            }
+        )
+        return pd.concat(
+            [d[cols], by_source[cols], by_lang[cols], total[cols]], ignore_index=True
+        )
+
+    # one task over the key-sized finest table (same contract as rollup)
+    return finest.repartition(1).map_batches(
+        cube, batch_format="pandas", batch_size=None
+    )
+
+
+def event_value_stats(sf_dir: str) -> Dataset:
+    """Distributed VARIANCE via sufficient statistics: per event type the
+    (n, Σx, Σx²) triple over integer-cents values — the decomposable form
+    every scale-out engine uses for stddev/variance (the float two-pass
+    formula would need the mean broadcast first; the raw-moment triple
+    shuffles three int64s and stays bit-exact, letting the CALLER finish
+    variance in whatever precision it wants). Cents² of a ≤$10k value ×
+    10^10 rows stays under int64; the SQL oracle applies identical casts."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = _cents(b.column("value").to_numpy())
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+                "sum_c": pa.array(v),
+                "sum_sq_c": pa.array(v * v),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_c", "sum"), ("sum_sq_c", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": g.column("n_sum"),
+                "sum_c": g.column("sum_c_sum"),
+                "sum_sq_c": g.column("sum_sq_c_sum"),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_c", alias_name="sum_c"),
+        Sum("sum_sq_c", alias_name="sum_sq_c"),
+    )
+
+
+def signup_click_purchase_funnel(
+    sf_dir: str, num_shards: int | None = None
+) -> Dataset:
+    """Ordered FUNNEL (sequence-pattern match): users with a signup, then a
+    click strictly AFTER it, then a purchase strictly after that click —
+    the 3-step conversion query of event analytics. The greedy-earliest
+    witness rule (earliest signup, then earliest qualifying click, then
+    any later purchase) is optimal for subsequence containment, so
+    existence of ANY chain == greedy success and the result is
+    witness-independent; the SQL oracle states it as an EXISTS join chain.
+
+    Physical shape: one scan filters to the three step types and ships
+    (user, step, ts_us) int rows through a user-hash shard groupby — the
+    sessionize cost class (one row per matching event; the text and the
+    other event columns never move). No per-batch minima are kept: a
+    qualifying click can be later than any per-batch prefix (the
+    threshold is another user's-step min, unknown at batch time), so
+    per-batch pruning beyond the type filter would be lossy. Per shard
+    the chain evaluates VECTORIZED: per-user min signup via a masked
+    ``np.minimum.at``, one threshold-mask per subsequent step — no
+    per-user Python loop."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    steps = {"signup": 0, "click": 1, "purchase": 2}
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        et = b.column("event_type")
+        mask = pc.is_in(et, value_set=pa.array(list(steps)))
+        t = b.filter(mask)
+        user = t.column("user_id").to_numpy()
+        codes = np.zeros(t.num_rows, dtype=np.int8)
+        for name, code in steps.items():
+            codes[np.asarray(pc.equal(t.column("event_type"), name))] = code
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(user) % num_shards).astype(np.int64),
+                "user_id": user,
+                "step": codes,
+                "ts_us": ts,
+            }
+        )
+
+    _SENT = np.iinfo(np.int64).max
+
+    def shard_funnel(g: pd.DataFrame) -> pa.Table:
+        user = g["user_id"].to_numpy()
+        step = g["step"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        uu = np.unique(user)
+        uidx = np.searchsorted(uu, user)
+        # step 0: per-user earliest signup
+        lo = np.full(len(uu), _SENT, dtype=np.int64)
+        m0 = step == 0
+        np.minimum.at(lo, uidx[m0], ts[m0])
+        # step 1: per-user earliest click strictly after the signup
+        c = np.full(len(uu), _SENT, dtype=np.int64)
+        m1 = step == 1
+        q1 = ts[m1] > lo[uidx[m1]]  # sentinel lo ⇒ never true
+        np.minimum.at(c, uidx[m1][q1], ts[m1][q1])
+        # step 2: any purchase strictly after that click
+        m2 = step == 2
+        q2 = ts[m2] > c[uidx[m2]]
+        hit = np.unique(uidx[m2][q2])
+        return pa.table({"user_id": pa.array(uu[hit], pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(shard_funnel, batch_format="pandas")
+    )

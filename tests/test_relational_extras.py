@@ -913,3 +913,57 @@ def test_repeat_buyers_requires_both_types(tmp_path):
     )
     got = _df(repeat_buyers(str(tmp_path)))
     assert got["user_id"].tolist() == [10]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_strictness_and_order(tmp_path):
+    """Same-ts steps do NOT chain (strict >); steps out of order do not
+    count; a chain spanning the user's whole history does."""
+    from spider_ray.pipelines.relational import signup_click_purchase_funnel
+
+    _write_events(
+        tmp_path,
+        event_id=list(range(1, 11)),
+        ts=[
+            # user 1: signup, click SAME ts (no), purchase later → no chain
+            "2024-01-01 10:00:00", "2024-01-01 10:00:00", "2024-01-01 11:00:00",
+            # user 2: purchase, click, signup (reverse order) → no chain
+            "2024-01-01 08:00:00", "2024-01-01 09:00:00", "2024-01-01 10:00:00",
+            # user 3: signup < click < purchase with noise between → chain
+            "2024-01-01 08:00:00", "2024-01-01 09:00:00", "2024-01-01 09:30:00",
+            "2024-01-01 10:00:00",
+        ],
+        user_id=[1, 1, 1, 2, 2, 2, 3, 3, 3, 3],
+        event_type=[
+            "signup", "click", "purchase",
+            "purchase", "click", "signup",
+            "signup", "click", "view", "purchase",
+        ],
+    )
+    got = _df(signup_click_purchase_funnel(str(tmp_path), num_shards=3))
+    assert got["user_id"].tolist() == [3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_has_all_four_levels(tmp_path):
+    """CUBE emits (source,lang), (source,ALL), (ALL,lang), (ALL,ALL) and
+    the grand total equals the sum of the finest level."""
+    from spider_ray.pipelines.relational import source_lang_cube
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["a", "a", "b"], pa.string()),
+                "lang": pa.array(["en", "de", "en"], pa.string()),
+                "n_chars": pa.array([10, 20, 40], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _df(source_lang_cube(str(tmp_path)))
+    levels = set(zip(got["source"], got["lang"]))
+    assert {("a", "en"), ("a", "de"), ("b", "en")} <= levels
+    assert {("a", "ALL"), ("b", "ALL"), ("ALL", "en"), ("ALL", "de")} <= levels
+    total = got[(got["source"] == "ALL") & (got["lang"] == "ALL")]
+    assert total["n_docs"].iloc[0] == 3 and total["total_chars"].iloc[0] == 70
