@@ -186,6 +186,7 @@ QUERY_BENCH = [
     "source_lang_cube",
     "event_value_stats",
     "signup_click_purchase_funnel",
+    "heavy_hitter_tokens",
 ]
 
 

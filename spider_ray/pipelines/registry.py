@@ -135,6 +135,10 @@ QUERIES = {
     # iterative link analysis: integer PageRank over the synthetic doc graph
     # (K chained share-shuffle iterations; unrolled-CTE SQL oracle)
     "pagerank_docs": graph.pagerank_docs,
+    # approximate heavy hitters via count-min sketch (rows-only: fixed
+    # 64 KiB exchange per block regardless of vocabulary; pytest pins it
+    # to the exact top_tokens and a planted heavy-hitter corpus)
+    "heavy_hitter_tokens": textops.heavy_hitter_tokens,
     # iterative ML: deterministic quantized Lloyd's k-means (rows-only for
     # the driver — no SQL can express the iteration; pytest pins it to a
     # sequential numpy oracle)

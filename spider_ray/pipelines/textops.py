@@ -578,3 +578,99 @@ def length_filtered_docs(
     return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+# count-min sketch parameters for heavy_hitter_tokens — width × depth × 8 B
+# = 64 KiB per block row; seeds are fixed so every block's sketch is mergeable
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048
+_CMS_SEEDS = ("cms-row-0", "cms-row-1", "cms-row-2", "cms-row-3")
+
+
+def heavy_hitter_tokens(
+    sf_dir: str, k: int = 20, cand_per_block: int = 200
+) -> Dataset:
+    """Approximate HEAVY HITTERS (top-k tokens) via a COUNT-MIN SKETCH —
+    the streaming-sketch answer when the vocabulary is too large even for
+    ``top_tokens``' vocab-bounded shuffle (10^9+ token types): the
+    exchange is a FIXED 64 KiB sketch + ``cand_per_block`` candidate rows
+    per block, independent of vocabulary size.
+
+    Per block: one Arrow tokenize + ``value_counts`` (the top_tokens
+    contract), then every (token, count) pair feeds a depth×width CMS via
+    vectorized seeded hashes, and the block's ``cand_per_block`` most
+    frequent tokens ship as candidates. Driver: sketches merge by
+    elementwise SUM (CMS is a commutative monoid — order-free), candidate
+    union is re-estimated against the merged sketch (point query = min
+    over depth rows), top-k by (estimate DESC, token ASC). Estimates
+    never undercount (CMS one-sided error); a true top-k token is missed
+    only if it is not in any block's local top-``cand_per_block`` — at a
+    Zipfian corpus the global heavy hitters are local heavy hitters
+    almost surely (pinned vs the exact operator in pytest).
+
+    Rows-only for the driver (the sketch estimate has no SQL equivalent);
+    correctness gates: planted heavy hitters recovered exactly, and
+    real-corpus top-k ⊇-overlap with ``top_tokens``."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _cms_rows(tokens: np.ndarray) -> np.ndarray:
+        # (depth, n) column indices from independent seeded hash streams
+        return np.stack(
+            [
+                (pd.util.hash_array(tokens, hash_key=s.ljust(16)) % _CMS_WIDTH)
+                for s in _CMS_SEEDS
+            ]
+        ).astype(np.int64)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        flat = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        vc = pc.value_counts(flat.combine_chunks())
+        tok = vc.field("values")
+        cnt = vc.field("counts")
+        keep = pc.not_equal(tok, "")
+        tokens = np.asarray(tok.filter(keep).to_pylist(), dtype=object)
+        counts = cnt.filter(keep).to_numpy().astype(np.int64)
+        cms = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+        if len(tokens):
+            idx = _cms_rows(tokens)
+            for d in range(_CMS_DEPTH):
+                np.add.at(cms[d], idx[d], counts)
+        order = np.lexsort((tokens, -counts))[:cand_per_block]
+        cand_tok = tokens[order]
+        cand_n = counts[order]
+        return pd.DataFrame(
+            {
+                "cms": [cms.tobytes()],
+                "cand_tok": ["\x00".join(cand_tok)],
+                "cand_n": [cand_n.astype(np.int64).tobytes()],
+            }
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()  # one 64 KiB row per block — fixed-size by construction
+
+    cms = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    cand: set[str] = set()
+    for raw, toks in zip(rows["cms"], rows["cand_tok"]):
+        cms += np.frombuffer(raw, dtype=np.int64).reshape(_CMS_DEPTH, _CMS_WIDTH)
+        if toks:
+            cand.update(toks.split("\x00"))
+    if not cand:
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()), "est_n": pa.array([], pa.int64())})
+        )
+    cand_arr = np.asarray(sorted(cand), dtype=object)
+    idx = _cms_rows(cand_arr)
+    est = cms[np.arange(_CMS_DEPTH)[:, None], idx].min(axis=0)
+    order = np.lexsort((cand_arr, -est))[:k]
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "token": cand_arr[order].astype(str),
+                "est_n": est[order].astype(np.int64),
+            }
+        )
+    )

@@ -967,3 +967,40 @@ def test_cube_has_all_four_levels(tmp_path):
     assert {("a", "ALL"), ("b", "ALL"), ("ALL", "en"), ("ALL", "de")} <= levels
     total = got[(got["source"] == "ALL") & (got["lang"] == "ALL")]
     assert total["n_docs"].iloc[0] == 3 and total["total_chars"].iloc[0] == 70
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_planted_and_vs_exact(tmp_path):
+    """Planted heavy hitters are recovered in order with estimates ≥ true
+    counts (CMS one-sided error) and ≤ true + collision slack; on the real
+    sf0.001 corpus the CMS top-20 overlaps the exact top-20 strongly."""
+    from spider_ray.pipelines.textops import heavy_hitter_tokens, top_tokens
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(40):
+        words = (
+            ["alpha"] * 25 + ["beta"] * 20 + ["gamma"] * 15
+            + [f"noise{rng.integers(0, 5000)}" for _ in range(30)]
+        )
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = _df(heavy_hitter_tokens(str(tmp_path), k=3))
+    top = got.sort_values("est_n", ascending=False)
+    assert top["token"].tolist() == ["alpha", "beta", "gamma"]
+    true = {"alpha": 1000, "beta": 800, "gamma": 600}
+    for t, n in zip(top["token"], top["est_n"]):
+        assert true[t] <= n <= true[t] + 200, (t, n)
+
+    approx = set(_df(heavy_hitter_tokens(SF001, k=20))["token"])
+    exact = set(_df(top_tokens(SF001, k=20))["token"])
+    assert len(approx & exact) >= 16, approx ^ exact
