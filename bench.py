@@ -187,6 +187,7 @@ QUERY_BENCH = [
     "event_value_stats",
     "signup_click_purchase_funnel",
     "heavy_hitter_tokens",
+    "clean_dedup_corpus",
 ]
 
 

@@ -754,3 +754,18 @@ ORACLE_SQL = {
     # driver view; its correctness gate is the sequential-oracle pytest
     # suite (tests/test_crawl_engine.py)
 }
+
+# end-to-end corpus snapshot: composed FROM the constituent oracles so the
+# composition cannot drift from its parts (clean filter ∘ exact dedup on
+# the kept set ∘ per-source count; the engine's partitioned-parquet
+# write/read roundtrip is invisible to SQL by design — it must not change
+# the answer)
+QUERIES["clean_dedup_corpus"] = textops.clean_dedup_corpus
+ORACLE_SQL["clean_dedup_corpus"] = (
+    f"WITH kept AS ({ORACLE_SQL['clean_documents']}), "
+    "d AS (SELECT md5(t.text) AS fp, min(t.doc_id) AS doc_id "
+    "FROM documents t JOIN kept k ON t.doc_id = k.doc_id "
+    "GROUP BY md5(t.text)) "
+    "SELECT k.source, count(*) AS n_docs FROM kept k "
+    "JOIN d ON k.doc_id = d.doc_id GROUP BY k.source"
+)

@@ -674,3 +674,142 @@ def heavy_hitter_tokens(
             }
         )
     )
+
+
+def clean_dedup_corpus(sf_dir: str, min_tokens: int = 10, max_dup_pct: int = 20,
+                       lang: str = "en") -> Dataset:
+    """END-TO-END corpus snapshot: the full preprocessing pipeline a
+    training run consumes — quality/language filter (``clean_documents``'
+    exact predicates), exact content dedup among the KEPT docs
+    (first-wins by doc_id, the ``exact_dedup`` contract), a PARTITIONED
+    PARQUET write of the surviving manifest (one directory per source —
+    the resumable-output layout), and a read-back count per source. The
+    oracle composes the two constituent SQL oracles, so the composition
+    cannot drift from its parts.
+
+    Physical shape: filter + fingerprint fuse into ONE stateless pass over
+    the text (the clean_documents argument — signals compose in-batch, the
+    text moves zero times); dedup is one hash shuffle of
+    (fp_hi, fp_lo, doc_id, source, n_chars) int-plus-small-string rows
+    with a per-batch min-per-fingerprint combiner; the write streams the
+    winner manifest (never collected); the count is a read of the written
+    partition layout with a per-batch combiner. The /tmp roundtrip is the
+    point, not overhead: it proves the partitioned sink + schema survive a
+    write/read cycle inside an oracle-checked query."""
+    import shutil
+    import tempfile
+
+    from spider_ray.blockutil import default_join_partitions, read_clean_parquet
+
+    num_shards = default_join_partitions()
+    names = [nm for nm, _ in LANG_MARKERS]
+    li = names.index(lang)
+
+    def filter_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_tokens = text.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
+        stop = text.str.lower().str.count(STOP_RE).to_numpy(dtype=np.int64)
+        _, _, dup = _dup_pct_arrays(text, 3)
+        pred = lang_scores_frame(batch).argmax(axis=1) == li
+        keep = (
+            (n_tokens >= min_tokens)
+            & (stop * 20 >= n_tokens)
+            & (dup <= max_dup_pct)
+            & pred
+        )
+        out = batch.loc[keep]
+        if not len(out):
+            return pd.DataFrame(
+                {
+                    "_s": np.array([], dtype=np.int64),
+                    "fp_hi": np.array([], dtype=np.int64),
+                    "fp_lo": np.array([], dtype=np.int64),
+                    "doc_id": np.array([], dtype=np.int64),
+                    "source": np.array([], dtype=object),
+                    "n_chars": np.array([], dtype=np.int64),
+                }
+            )
+        # same-pass fingerprint (the exact_dedup two-int64 key contract)
+        digs = b"".join(hashlib.md5(t.encode()).digest() for t in out["text"])
+        halves = np.frombuffer(digs, dtype=">u8").reshape(-1, 2)
+        hi = halves[:, 0].astype(np.uint64).view(np.int64)
+        lo = halves[:, 1].astype(np.uint64).view(np.int64)
+        doc = out["doc_id"].to_numpy().astype(np.int64)
+        src = out["source"].to_numpy(dtype=object)
+        nch = out["n_chars"].to_numpy().astype(np.int64)
+        # per-batch min-doc_id per fingerprint (combiner)
+        order = np.lexsort((doc, lo, hi))
+        hi, lo, doc, src, nch = hi[order], lo[order], doc[order], src[order], nch[order]
+        first = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+        hi, lo, doc, src, nch = hi[first], lo[first], doc[first], src[first], nch[first]
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(hi ^ lo) % num_shards).astype(np.int64),
+                "fp_hi": hi,
+                "fp_lo": lo,
+                "doc_id": doc,
+                "source": src,
+                "n_chars": nch,
+            }
+        )
+
+    def shard_min(g: pd.DataFrame) -> pa.Table:
+        hi = g["fp_hi"].to_numpy()
+        lo = g["fp_lo"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, lo, hi))
+        hi, lo, doc = hi[order], lo[order], doc[order]
+        src = g["source"].to_numpy()[order]
+        nch = g["n_chars"].to_numpy()[order]
+        first = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[first], pa.int64()),
+                "source": pa.array(src[first], pa.string()),
+                "n_chars": pa.array(nch[first], pa.int64()),
+            }
+        )
+
+    winners = (
+        _docs(sf_dir, ["doc_id", "source", "n_chars", "text"])
+        .map_batches(filter_fp, batch_format="pandas")
+        .groupby("_s")
+        .map_groups(shard_min, batch_format="pandas")
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="spider_ray_corpus_")
+    try:
+        winners.write_parquet(out_dir, partition_cols=["source"])
+        back = read_clean_parquet(out_dir)
+
+        def count_partial(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "source": pc_cast_str(b.column("source")),
+                    "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            )
+            g = t.group_by("source").aggregate([("n_docs", "sum")])
+            return pa.table(
+                {"source": g.column("source"), "n_docs": g.column("n_docs_sum")}
+            )
+
+        result = (
+            back.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+            .to_pandas()  # sources-sized — the answer itself
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return ray.data.from_pandas(result)
+
+
+def pc_cast_str(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    """Hive-partition columns read back as dictionary<string>; normalize to
+    plain string so the groupby key dtype is stable."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_dictionary(col.type):
+        return pc.cast(col, pa.string())
+    return col
