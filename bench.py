@@ -188,6 +188,15 @@ QUERY_BENCH = [
     "signup_click_purchase_funnel",
     "heavy_hitter_tokens",
     "clean_dedup_corpus",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "user_value_moving_sum",
+    "mode_lang_per_source",
+    "clickers_without_purchase",
+    "late_shipment_priority_counts",
+    "top_bigrams",
+    "stratified_sample_documents",
+    "split_documents",
 ]
 
 

@@ -769,3 +769,109 @@ ORACLE_SQL["clean_dedup_corpus"] = (
     "SELECT k.source, count(*) AS n_docs FROM kept k "
     "JOIN d ON k.doc_id = d.doc_id GROUP BY k.source"
 )
+
+# TPC-H-Q17-shaped aggregate-then-self-join (compare each row to its
+# group's aggregate): brand partkeys broadcast, per-partkey avg via
+# combiner groupby, second streaming pass probes the broadcast aggregate;
+# the qualifying predicate is integer (5·qty_c·n < sum_qty_c ⇔ qty < 0.2·avg)
+QUERIES["q17_small_qty_revenue"] = relational.q17_small_qty_revenue
+ORACLE_SQL["q17_small_qty_revenue"] = (
+    "WITH agg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sq "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand = 'Brand#13' GROUP BY l_partkey) "
+    "SELECT CAST(coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT)), 0) "
+    "AS BIGINT) AS total_base_c, CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem JOIN agg ON lineitem.l_partkey = agg.l_partkey "
+    "WHERE 5 * CAST(round(l_quantity*100) AS BIGINT) * agg.n < agg.sq"
+)
+
+# TPC-H-Q18-shaped GROUP BY + HAVING + enrichment join: the HAVING tail is
+# answer-sized, so it broadcasts back over orders — no fact⋈fact shuffle
+QUERIES["q18_large_orders"] = relational.q18_large_orders
+ORACLE_SQL["q18_large_orders"] = (
+    "WITH big AS (SELECT l_orderkey, "
+    "CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c "
+    "FROM lineitem GROUP BY l_orderkey "
+    "HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 30000) "
+    "SELECT c_name, o_orderkey, "
+    "CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c, sum_qty_c "
+    "FROM big JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON o_custkey = c_custkey"
+)
+
+# bounded-frame window function (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+# — the rolling-feature sibling of user_running_total, same shard shape
+QUERIES["user_value_moving_sum"] = relational.user_value_moving_sum
+ORACLE_SQL["user_value_moving_sum"] = (
+    "SELECT event_id, user_id, "
+    "CAST(sum(CAST(round(value*100) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_c "
+    "FROM events WHERE event_type = 'purchase'"
+)
+
+# MODE per group (argmax-of-counts, ties → lang ascending): key-sized
+# combiner groupby + one answer-sized argmax merge
+QUERIES["mode_lang_per_source"] = relational.mode_lang_per_source
+ORACLE_SQL["mode_lang_per_source"] = (
+    "SELECT source, lang, n_docs FROM ("
+    "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "row_number() OVER (PARTITION BY source "
+    "ORDER BY count(*) DESC, lang) AS rn "
+    "FROM documents GROUP BY source, lang) WHERE rn = 1"
+)
+
+# keyed set DIFFERENCE (EXCEPT) at (user, day) grain — complement of
+# repeat_buyers' INTERSECT; indicator-max groupby over per-batch distinct
+# (user, day) pairs
+QUERIES["clickers_without_purchase"] = relational.clickers_without_purchase
+ORACLE_SQL["clickers_without_purchase"] = (
+    "SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day "
+    "FROM events WHERE event_type = 'click' "
+    "EXCEPT "
+    "SELECT user_id, date_trunc('day', ts)::TIMESTAMP "
+    "FROM events WHERE event_type = 'purchase'"
+)
+
+# TPC-H-Q4-shaped EXISTS semi-join + grouped count (positive counterpart
+# of the orders_without_lineitems anti-join; both sides fact-sized)
+QUERIES["late_shipment_priority_counts"] = relational.late_shipment_priority_counts
+ORACLE_SQL["late_shipment_priority_counts"] = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM orders WHERE o_orderkey IN ("
+    "SELECT l_orderkey FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1998-06-01') "
+    "GROUP BY o_orderpriority"
+)
+
+# word-BIGRAM count top-k (sequence n-grams; adjacency never crosses a
+# document). The SQL's list_zip pads the shorter list with NULL — filtered
+# on both sides; empty-token pairs dropped on both sides identically
+QUERIES["top_bigrams"] = textops.top_bigrams
+ORACLE_SQL["top_bigrams"] = (
+    "WITH p AS (SELECT unnest(list_zip(ws, ws[2:])) AS z "
+    "FROM (SELECT string_split(text, ' ') AS ws FROM documents)) "
+    "SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS n FROM p "
+    "WHERE z[1] <> '' AND z[2] <> '' AND z[2] IS NOT NULL "
+    "GROUP BY z[1], z[2] ORDER BY n DESC, w1, w2 LIMIT 40"
+)
+
+# per-stratum deterministic sampling (md5 % 100 against a per-lang rate)
+QUERIES["stratified_sample_documents"] = textops.stratified_sample_documents
+ORACLE_SQL["stratified_sample_documents"] = (
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE md5_number_lower(text) % 100 < "
+    "CASE WHEN lang = 'en' THEN 5 ELSE 25 END"
+)
+
+# deterministic train/val/test split summary (content-hash bucketing —
+# membership is a pure function of the doc, stable under re-sharding)
+QUERIES["split_documents"] = textops.split_documents
+ORACLE_SQL["split_documents"] = (
+    "SELECT CASE WHEN md5_number_lower(text) % 100 < 80 THEN 'train' "
+    "WHEN md5_number_lower(text) % 100 < 90 THEN 'val' ELSE 'test' END AS split, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY 1"
+)

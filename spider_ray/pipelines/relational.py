@@ -2429,3 +2429,426 @@ def signup_click_purchase_funnel(
         .groupby("_s")
         .map_groups(shard_funnel, batch_format="pandas")
     )
+
+
+def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#13") -> pa.Table:
+    """TPC-H-Q17-shaped aggregate-then-self-join: total base price of
+    lineitems whose quantity is below 20% of the per-part average, among
+    parts of one brand — the "compare each row to its group's aggregate"
+    pattern (reference has no analog; standard pipeline shape).
+
+    Physical plan (two streaming passes, zero shuffles of fact rows):
+    - the brand's partkey set is DIMENSION-sized (1/25th of part) →
+      broadcast once as a sorted array;
+    - pass 1 computes per-partkey (count, sum_qty_c) with per-batch
+      PARTIAL aggregation — the exchange carries one row per (partkey ∩
+      brand, block); the aggregate is brand-partkey-sized and broadcast;
+    - pass 2 re-streams lineitem, probes the broadcast aggregate with one
+      searchsorted per batch, and the qualifying predicate is evaluated in
+      integers (``5·qty_c·n < sum_qty_c`` ⇔ qty < 0.2·avg — no float
+      division, so Ray and DuckDB agree bit-exactly);
+    - the result is ONE row of partial sums (Dataset.aggregate on the
+      driver — answer-sized by construction)."""
+    part_t = pq.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "==", brand)],
+    )
+    pk_sorted = np.sort(part_t.column("p_partkey").to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk_sorted)
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _member(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+        if not len(sorted_keys):
+            return np.zeros(len(probe), dtype=bool)
+        pos = np.minimum(np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1)
+        return sorted_keys[pos] == probe
+
+    def pass1(b: pa.Table) -> pa.Table:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        pks = get_broadcast(pk_ref)
+        key = b.column("l_partkey").to_numpy()
+        keep = _member(pks, key)
+        key = key[keep]
+        qty_c = _cents(b.column("l_quantity").to_numpy()[keep])
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(uk), dtype=np.int64)
+        sq = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(sq, inv, qty_c)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uk, pa.int64()),
+                "n": pa.array(n),
+                "sq": pa.array(sq),
+            }
+        )
+
+    agg = (
+        line.map_batches(pass1, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
+        .to_pandas()  # brand-partkey-sized (|part|/25 rows)
+    )
+    ak = agg["l_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ak, kind="stable")
+    agg_ref = ray.put(
+        (ak[order], agg["n"].to_numpy()[order].astype(np.int64),
+         agg["sq"].to_numpy()[order].astype(np.int64))
+    )
+
+    def pass2(b: pa.Table) -> pa.Table:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        ks, ns, sqs = get_broadcast(agg_ref)
+        key = b.column("l_partkey").to_numpy()
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, key), len(ks) - 1)
+            hit = ks[pos] == key
+        else:
+            pos = np.zeros(len(key), dtype=np.int64)
+            hit = np.zeros(len(key), dtype=bool)
+        qty_c = _cents(b.column("l_quantity").to_numpy())
+        base_c = _cents(b.column("l_extendedprice").to_numpy())
+        keep = hit & (5 * qty_c * ns[pos] < sqs[pos])
+        return pa.table(
+            {
+                "total_base_c": pa.array([int(base_c[keep].sum())], pa.int64()),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    res = line.map_batches(pass2, batch_format="pyarrow").aggregate(
+        Sum("total_base_c", alias_name="total_base_c"),
+        Sum("n_items", alias_name="n_items"),
+    )
+    return pa.table(
+        {
+            "total_base_c": pa.array([int(res["total_base_c"] or 0)], pa.int64()),
+            "n_items": pa.array([int(res["n_items"] or 0)], pa.int64()),
+        }
+    )
+
+
+def q18_large_orders(sf_dir: str, min_qty: int = 300) -> Dataset:
+    """TPC-H-Q18-shaped GROUP BY + HAVING + enrichment join: orders whose
+    total lineitem quantity exceeds ``min_qty``, with customer name.
+
+    Physical plan: per-batch PARTIAL (orderkey, qty_c) sums → one
+    orderkey groupby (combiner-reduced exchange) → HAVING filter, which is
+    ANSWER-sized by construction (the threshold selects the extreme tail)
+    → broadcast the qualifying (orderkey, sum_qty_c) + the customer
+    name dimension → one streaming probe pass over orders. No fact⋈fact
+    shuffle: the only exchange is the combiner groupby."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b.column("l_orderkey").to_numpy()
+        qty_c = _cents(b.column("l_quantity").to_numpy())
+        uk, inv = np.unique(key, return_inverse=True)
+        sq = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sq, inv, qty_c)
+        return pa.table(
+            {"l_orderkey": pa.array(uk, pa.int64()), "sum_qty_c": pa.array(sq)}
+        )
+
+    big = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"))
+        .filter(expr=f"sum_qty_c > {min_qty * 100}")
+        .to_pandas()  # answer-sized: the HAVING tail
+    )
+    bk = big["l_orderkey"].to_numpy().astype(np.int64)
+    order = np.argsort(bk, kind="stable")
+    big_ref = ray.put((bk[order], big["sum_qty_c"].to_numpy()[order].astype(np.int64)))
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    ck = cust.column("c_custkey").to_numpy().astype(np.int64)
+    corder = np.argsort(ck, kind="stable")
+    cust_ref = ray.put(
+        (ck[corder], np.asarray(cust.column("c_name").to_pylist(), dtype=object)[corder])
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        ks, sq = get_broadcast(big_ref)
+        cks, cnames = get_broadcast(cust_ref)
+        key = b.column("o_orderkey").to_numpy()
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, key), len(ks) - 1)
+            hit = ks[pos] == key
+        else:
+            pos = np.zeros(len(key), dtype=np.int64)
+            hit = np.zeros(len(key), dtype=bool)
+        custk = b.column("o_custkey").to_numpy()[hit]
+        cpos = np.minimum(np.searchsorted(cks, custk), max(len(cks) - 1, 0))
+        name = cnames[cpos] if len(cks) else np.full(len(custk), "", dtype=object)
+        return pa.table(
+            {
+                "c_name": pa.array(name, pa.string()),
+                "o_orderkey": pa.array(key[hit], pa.int64()),
+                "totalprice_c": pa.array(
+                    _cents(b.column("o_totalprice").to_numpy()[hit]), pa.int64()
+                ),
+                "sum_qty_c": pa.array(sq[pos[hit]], pa.int64()),
+            }
+        )
+
+    return orders.map_batches(probe, batch_format="pyarrow")
+
+
+def user_value_moving_sum(
+    sf_dir: str, event_type: str = "purchase", window: int = 3,
+    num_shards: int | None = None,
+) -> Dataset:
+    """Bounded-frame window function — SQL's ``SUM(value) OVER (PARTITION
+    BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW)`` — the rolling-feature shape (moving averages/sums per key) that
+    complements the unbounded-frame ``user_running_total``.
+
+    Same physical plan as running total (user-hash shards, one lexsort +
+    cumsum pass per shard); the bounded frame is ``cum[i] −
+    cum[max(group_start, i−w+1) − 1]`` computed with one ``np.maximum``
+    over the per-row group-start index — no per-row loop, no per-user
+    Python call."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pd.DataFrame:
+        b = b.filter(pc.equal(b.column("event_type"), event_type))
+        uid = b.column("user_id").to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(uid) % num_shards).astype(np.int64),
+                "event_id": b.column("event_id").to_numpy(),
+                "user_id": uid,
+                "ts": b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64),
+                "value_c": np.round(b.column("value").to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    part = ds.map_batches(tag, batch_format="pyarrow")
+
+    def shard_window(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value_c"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        cum = np.concatenate(([np.int64(0)], np.cumsum(val)))
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        # per-row index of the row's group start, then the bounded frame
+        grp_start = np.repeat(starts, np.diff(np.append(starts, len(uid))))
+        idx = np.arange(len(uid))
+        lo = np.maximum(grp_start, idx - (window - 1))
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": uid, "moving_c": cum[idx + 1] - cum[lo]}
+        )
+
+    return part.groupby("_s").map_groups(shard_window, batch_format="pandas")
+
+
+def mode_lang_per_source(sf_dir: str) -> Dataset:
+    """MODE per group (argmax-of-counts): the most frequent ``lang`` per
+    ``source``, ties broken by lang ascending — the categorical-mode
+    aggregate Ray Data lacks. Per-batch (source, lang) count partials →
+    one key-sized groupby → a single answer-sized argmax merge (the
+    (source × lang) grid is ≤ a few hundred rows at any corpus size —
+    categorical domains don't grow with the data)."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.append_column("n_docs", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        g = t.group_by(["source", "lang"]).aggregate([("n_docs", "sum")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "n_docs": g.column("n_docs_sum"),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def argmax_merge(bt: pd.DataFrame) -> pa.Table:
+        # lang ascending then stable sort by count desc ⇒ first row per
+        # source is (max count, min lang) — the SQL row_number tie rule
+        bt = bt.sort_values("lang", kind="stable")
+        bt = bt.sort_values("n_docs", ascending=False, kind="stable")
+        top = bt.drop_duplicates("source", keep="first")
+        return pa.table(
+            {
+                "source": pa.array(top["source"].to_numpy(), pa.string()),
+                "lang": pa.array(top["lang"].to_numpy(), pa.string()),
+                "n_docs": pa.array(top["n_docs"].to_numpy(), pa.int64()),
+            }
+        )
+
+    from spider_ray.blockutil import final_merge
+
+    return final_merge(
+        counts,
+        argmax_merge,
+        pa.schema(
+            [("source", pa.string()), ("lang", pa.string()), ("n_docs", pa.int64())]
+        ),
+    )
+
+
+def clickers_without_purchase(sf_dir: str) -> Dataset:
+    """Keyed set DIFFERENCE (SQL EXCEPT) at (user, day) grain: the
+    user-days with a click but NO purchase — the complement of
+    ``repeat_buyers``' intersection (plain per-user EXCEPT would be empty
+    on this dense corpus; the day grain is the shape a churn/abandonment
+    pipeline actually queries). Per-batch partial: distinct (user, day)
+    per flag (one np.unique over packed keys), emitted as indicator
+    partials; one (user, day) groupby MAXes the indicators; the
+    difference is a vectorized filter. Day crosses the shuffle as int64
+    epoch-µs (the events_hourly rule) and is cast back after."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        uid = b.column("user_id").to_numpy()
+        day = (
+            pc.floor_temporal(b.column("ts"), unit="day")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        out_u, out_d, out_c, out_p = [], [], [], []
+        for flag, mask in (("c", et == "click"), ("p", et == "purchase")):
+            pairs = np.unique(
+                np.stack([uid[mask], day[mask]], axis=1), axis=0
+            )
+            out_u.append(pairs[:, 0])
+            out_d.append(pairs[:, 1])
+            one = np.ones(len(pairs), dtype=np.int64)
+            zero = np.zeros(len(pairs), dtype=np.int64)
+            out_c.append(one if flag == "c" else zero)
+            out_p.append(zero if flag == "c" else one)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+                "day": pa.array(np.concatenate(out_d), pa.int64()),
+                "c": pa.array(np.concatenate(out_c)),
+                "p": pa.array(np.concatenate(out_p)),
+            }
+        )
+
+    flags = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Max("c", alias_name="c"), Max("p", alias_name="p"))
+    )
+
+    def diff(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b.column("c"), 1), pc.equal(b.column("p"), 0))
+        kept = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": kept.column("user_id"),
+                "day": kept.column("day").cast(pa.timestamp("us")),
+            }
+        )
+
+    from spider_ray.blockutil import drop_empty_blocks
+
+    # an all-purchaser corpus yields an EMPTY difference — pin the schema
+    # through Ray's empty-block pruning (blockutil.drop_empty_blocks)
+    return drop_empty_blocks(
+        flags.map_batches(diff, batch_format="pyarrow"),
+        pa.schema([("user_id", pa.int64()), ("day", pa.timestamp("us"))]),
+    )
+
+
+def late_shipment_priority_counts(
+    sf_dir: str, ship_cutoff: str = "1998-06-01", num_shards: int | None = None
+) -> Dataset:
+    """TPC-H-Q4-shaped EXISTS semi-join + grouped count: orders having at
+    least one lineitem shipped on/after ``ship_cutoff``, counted per
+    order priority — the POSITIVE counterpart of the
+    ``orders_without_lineitems`` anti-join, same tagged-union shape.
+
+    Both sides are fact-sized so neither broadcasts: lineitem reduces to
+    per-batch UNIQUE qualifying orderkeys before the exchange, the shard
+    does one searchsorted membership test, and the per-priority counts
+    leave each shard as ≤ 5 partial rows."""
+    from spider_ray.blockutil import default_join_partitions
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    cutoff_us = np.int64(np.datetime64(ship_cutoff, "us").astype(np.int64))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["o_orderkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
+                "_t": np.zeros(len(key), dtype=np.int8),
+                "o_orderkey": key,
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            }
+        )
+
+    def l_side(b: pa.Table) -> pd.DataFrame:
+        ship = b.column("l_shipdate").to_numpy().astype("datetime64[us]").astype(np.int64)
+        key = np.unique(b.column("l_orderkey").to_numpy()[ship >= cutoff_us])
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(key) % num_shards).astype(np.int64),
+                "_t": np.ones(len(key), dtype=np.int8),
+                "o_orderkey": key,
+                "o_orderpriority": np.full(len(key), "", dtype=object),
+            }
+        )
+
+    tagged = orders.map_batches(o_side, batch_format="pandas").union(
+        line.map_batches(l_side, batch_format="pyarrow")
+    )
+
+    def shard_semi(g: pd.DataFrame) -> pa.Table:
+        t = g["_t"].to_numpy()
+        o = g.loc[t == 0]
+        lk = np.unique(g.loc[t == 1, "o_orderkey"].to_numpy())
+        ok = o["o_orderkey"].to_numpy()
+        if len(lk):
+            pos = np.minimum(np.searchsorted(lk, ok), len(lk) - 1)
+            hit = lk[pos] == ok
+        else:
+            hit = np.zeros(len(ok), dtype=bool)
+        pr = o["o_orderpriority"].to_numpy()[hit]
+        up, cnt = np.unique(pr, return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(up, pa.string()),
+                "n_orders": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        tagged.groupby("_s")
+        .map_groups(shard_semi, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )

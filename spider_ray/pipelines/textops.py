@@ -813,3 +813,176 @@ def pc_cast_str(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
     if pa.types.is_dictionary(col.type):
         return pc.cast(col, pa.string())
     return col
+
+
+def top_bigrams(sf_dir: str, k: int = 40, num_shards: int | None = None) -> Dataset:
+    """Corpus-wide word-BIGRAM counts, top-k by (n DESC, w1, w2) — the
+    sequence-n-gram sibling of ``top_tokens`` (language-model count
+    pipelines start here). Tokenization contract: single-space split;
+    a bigram is two ADJACENT raw tokens within one document; pairs with an
+    empty side are dropped (matching the SQL's filtered ``list_zip``).
+
+    Physical shape: one ``pc.split_pattern`` + zero-copy flatten per batch;
+    adjacency is ``parent[i] == parent[i+1]`` over the flattened parent
+    indices (one vectorized compare — pairs never cross documents); one
+    pandas groupby-size per batch emits (w1, w2, n) PARTIALS. The exchange
+    is an INT-shard groupby on ``hash(w1,w2) % P`` — a two-string-key
+    ``Dataset.groupby`` sort-shuffles the bigram strings themselves and
+    measured ~10× slower (the distinct_users_hll string-shuffle pitfall);
+    every copy of a bigram lands in one shard, so per-shard sums are exact
+    and each shard emits only its local top-k, merged by one answer-sized
+    final task (k×P rows). Scale relief for an unbounded vocabulary is
+    heavy_hitter_tokens' count-min sketch (same contract, sketched)."""
+    import pyarrow.compute as pc
+
+    from spider_ray.blockutil import default_join_partitions, final_merge
+
+    if num_shards is None:
+        num_shards = default_join_partitions()
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        vals = flat.to_pandas().to_numpy(dtype=object)
+        empty = pd.DataFrame(
+            {
+                "_s": np.array([], dtype=np.int64),
+                "w1": np.array([], dtype=object),
+                "w2": np.array([], dtype=object),
+                "n": np.array([], dtype=np.int64),
+            }
+        )
+        if len(vals) < 2:
+            return empty
+        i1 = np.flatnonzero(parent[1:] == parent[:-1])
+        w1, w2 = vals[i1], vals[i1 + 1]
+        keep = (w1 != "") & (w2 != "")
+        if not keep.any():
+            return empty
+        d = pd.DataFrame({"w1": w1[keep], "w2": w2[keep]})
+        g = d.groupby(["w1", "w2"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        gw1 = idx["w1"].to_numpy(dtype=object)
+        gw2 = idx["w2"].to_numpy(dtype=object)
+        shard = (
+            (pd.util.hash_array(gw1) ^ (pd.util.hash_array(gw2) >> np.uint64(1)))
+            % num_shards
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_s": shard,
+                "w1": gw1,
+                "w2": gw2,
+                "n": g.to_numpy().astype(np.int64),
+            }
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+        agg = agg.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+        return agg[["w1", "w2", "n"]]
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(shard_topk, batch_format="pandas")
+    )
+
+    def merge_topk(bt: pd.DataFrame) -> pa.Table:
+        top = bt.sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+        return pa.table(
+            {
+                "w1": pa.array(top["w1"].to_numpy(dtype=object), pa.string()),
+                "w2": pa.array(top["w2"].to_numpy(dtype=object), pa.string()),
+                "n": pa.array(top["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return final_merge(
+        partials,
+        merge_topk,
+        pa.schema([("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]),
+    )
+
+
+def stratified_sample_documents(
+    sf_dir: str, rates: dict[str, int] | None = None, default_rate: int = 25
+) -> Dataset:
+    """STRATIFIED deterministic sampling — per-stratum keep rates (the
+    rebalancing stage of a training-data pipeline: e.g. keep 5% of the
+    dominant language, 25% of everything else). Same pure-function contract
+    as ``sample_documents`` (md5-low-64(text) % 100 — no RNG state across
+    nodes, reproducible/resumable), with the threshold selected per row by
+    the stratum column: one vectorized ``np.where`` chain per batch, zero
+    shuffles."""
+    if rates is None:
+        rates = {"en": 5}
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                for t in batch["text"]
+            ],
+            dtype=np.uint64,
+        )
+        lang = batch["lang"].to_numpy(dtype=object)
+        rate = np.full(len(lang), default_rate, dtype=np.uint64)
+        for lg, r in rates.items():
+            rate[lang == lg] = r
+        return batch.loc[(hs % 100) < rate, ["doc_id", "lang", "n_chars"]]
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def split_documents(
+    sf_dir: str, train_pct: int = 80, val_pct: int = 10
+) -> Dataset:
+    """Deterministic TRAIN/VAL/TEST split summary — the assignment is a
+    pure function of the document content (md5-low-64(text) % 100 bucketed
+    at ``train_pct`` / ``train_pct+val_pct``), so the split is identical
+    on every node and every rerun, docs never leak across splits when the
+    corpus is re-sharded, and a resumed job re-derives membership instead
+    of persisting it. Per-batch (split, n, chars) partials → one 3-key
+    groupby — the exchange carries ≤ 3 rows per block."""
+    cut2 = train_pct + val_pct
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                for t in batch["text"]
+            ],
+            dtype=np.uint64,
+        )
+        b = (hs % 100).astype(np.int64)
+        split = np.where(b < train_pct, "train", np.where(b < cut2, "val", "test"))
+        d = pd.DataFrame({"split": split, "n_chars": batch["n_chars"].to_numpy()})
+        g = d.groupby("split", sort=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "split": g.index.to_numpy(dtype=object),
+                "n_docs": g["n_docs"].to_numpy().astype(np.int64),
+                "total_chars": g["total_chars"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["n_chars", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("split")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
