@@ -197,6 +197,8 @@ QUERY_BENCH = [
     "top_bigrams",
     "stratified_sample_documents",
     "split_documents",
+    "nation_customer_supplier_balance",
+    "hourly_active_users",
 ]
 
 

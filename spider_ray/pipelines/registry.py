@@ -875,3 +875,26 @@ ORACLE_SQL["split_documents"] = (
     "CAST(sum(n_chars) AS BIGINT) AS total_chars "
     "FROM documents GROUP BY 1"
 )
+
+# FULL OUTER join (zero-filled both sides) — completes the join family;
+# the zero-fill falls out of a tagged combiner union, no join operator
+QUERIES["nation_customer_supplier_balance"] = (
+    relational.nation_customer_supplier_balance
+)
+ORACLE_SQL["nation_customer_supplier_balance"] = (
+    "SELECT n_name, CAST(coalesce(c.n, 0) AS BIGINT) AS n_customers, "
+    "CAST(coalesce(s.n, 0) AS BIGINT) AS n_suppliers "
+    "FROM (SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1) c "
+    "FULL OUTER JOIN "
+    "(SELECT s_nationkey AS k, count(*) AS n FROM supplier GROUP BY 1) s "
+    "ON c.k = s.k JOIN nation ON n_nationkey = coalesce(c.k, s.k)"
+)
+
+# windowed DISTINCT count (hourly active users): distinct-(hour, user)
+# pairs cross the exchange, never event rows
+QUERIES["hourly_active_users"] = relational.hourly_active_users
+ORACLE_SQL["hourly_active_users"] = (
+    "SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY 1"
+)

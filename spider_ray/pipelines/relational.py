@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -2852,3 +2852,128 @@ def late_shipment_priority_counts(
         .groupby("o_orderpriority")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
+
+
+def nation_customer_supplier_balance(sf_dir: str) -> Dataset:
+    """FULL OUTER join — the last join variant in the family (inner/
+    broadcast: q5; left outer: order_lineitem_counts; anti:
+    orders_without_lineitems; semi: late_shipment_priority_counts; as-of /
+    range: asof_prev_event / events_range_join): per-nation customer count
+    vs supplier count, zero-filled on BOTH sides so nations with only
+    customers or only suppliers survive.
+
+    Physical plan: both sides reduce to per-batch (nationkey, n) partials
+    (combiner), union with a side tag, one key-sized groupby sums each
+    side's count per nation — the full-outer zero-fill falls out of the
+    union (a key present on one side simply has 0 partials from the
+    other). The nation-name dimension is broadcast. Exchange rows:
+    O(nations × blocks)."""
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nk = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    order = np.argsort(nk, kind="stable")
+    nat_ref = ray.put(
+        (nk[order], np.asarray(nat.column("n_name").to_pylist(), dtype=object)[order])
+    )
+
+    def side(col: str, is_supp: int):
+        def partial(b: pa.Table) -> pa.Table:
+            key = b.column(col).to_numpy().astype(np.int64)
+            uk, cnt = np.unique(key, return_counts=True)
+            z = np.zeros(len(uk), dtype=np.int64)
+            c = cnt.astype(np.int64)
+            return pa.table(
+                {
+                    "nationkey": pa.array(uk, pa.int64()),
+                    "n_customers": pa.array(z if is_supp else c),
+                    "n_suppliers": pa.array(c if is_supp else z),
+                }
+            )
+
+        return partial
+
+    tagged = cust.map_batches(side("c_nationkey", 0), batch_format="pyarrow").union(
+        supp.map_batches(side("s_nationkey", 1), batch_format="pyarrow")
+    )
+    agg = tagged.groupby("nationkey").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("n_suppliers", alias_name="n_suppliers"),
+    )
+
+    def attach_name(b: pa.Table) -> pa.Table:
+        from spider_ray.stages.broadcast import get_broadcast
+
+        ks, names = get_broadcast(nat_ref)
+        key = b.column("nationkey").to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(ks, key), max(len(ks) - 1, 0))
+        name = names[pos] if len(ks) else np.full(len(key), "", dtype=object)
+        return pa.table(
+            {
+                "n_name": pa.array(name, pa.string()),
+                "n_customers": b.column("n_customers"),
+                "n_suppliers": b.column("n_suppliers"),
+            }
+        )
+
+    return agg.map_batches(attach_name, batch_format="pyarrow")
+
+
+def hourly_active_users(sf_dir: str) -> Dataset:
+    """Windowed DISTINCT count — distinct users per event-time hour (the
+    'hourly actives' metric; events_hourly counts rows, this counts
+    users). Per-batch partial: one np.unique over packed (hour, user)
+    int64 pairs — the exchange carries distinct-(hour, user)-per-block
+    rows, never event rows; one (hour, user) groupby dedups across blocks
+    and a second hour-keyed combiner pass counts. Hour crosses the
+    shuffle as int64 epoch-µs (the events_hourly rule)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = (
+            pc.floor_temporal(b.column("ts"), unit="hour")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        uid = b.column("user_id").to_numpy()
+        pairs = np.unique(np.stack([hour, uid], axis=1), axis=0)
+        return pa.table(
+            {
+                "hour": pa.array(pairs[:, 0], pa.int64()),
+                "user_id": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    dedup = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        hour = b.column("hour").to_numpy()
+        uh, cnt = np.unique(hour, return_counts=True)
+        return pa.table(
+            {
+                "hour": pa.array(uh, pa.int64()),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        dedup.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def cast_back(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": b.column("hour").cast(pa.timestamp("us")),
+                "n_users": b.column("n_users"),
+            }
+        )
+
+    return agg.map_batches(cast_back, batch_format="pyarrow")
