@@ -2491,6 +2491,10 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#13") -> pa.Table:
         .aggregate(Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
         .to_pandas()  # brand-partkey-sized (|part|/25 rows)
     )
+    if agg.empty:
+        # unknown brand / no matching lineitems: Ray drops the columns of a
+        # zero-row to_pandas — rebuild the empty frame with its schema
+        agg = pd.DataFrame({"l_partkey": [], "n": [], "sq": []})
     ak = agg["l_partkey"].to_numpy().astype(np.int64)
     order = np.argsort(ak, kind="stable")
     agg_ref = ray.put(
@@ -2503,12 +2507,15 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#13") -> pa.Table:
 
         ks, ns, sqs = get_broadcast(agg_ref)
         key = b.column("l_partkey").to_numpy()
-        if len(ks):
-            pos = np.minimum(np.searchsorted(ks, key), len(ks) - 1)
-            hit = ks[pos] == key
-        else:
-            pos = np.zeros(len(key), dtype=np.int64)
-            hit = np.zeros(len(key), dtype=bool)
+        if not len(ks):  # unknown brand: nothing can qualify
+            return pa.table(
+                {
+                    "total_base_c": pa.array([0], pa.int64()),
+                    "n_items": pa.array([0], pa.int64()),
+                }
+            )
+        pos = np.minimum(np.searchsorted(ks, key), len(ks) - 1)
+        hit = ks[pos] == key
         qty_c = _cents(b.column("l_quantity").to_numpy())
         base_c = _cents(b.column("l_extendedprice").to_numpy())
         keep = hit & (5 * qty_c * ns[pos] < sqs[pos])
@@ -2560,6 +2567,10 @@ def q18_large_orders(sf_dir: str, min_qty: int = 300) -> Dataset:
         .filter(expr=f"sum_qty_c > {min_qty * 100}")
         .to_pandas()  # answer-sized: the HAVING tail
     )
+    if big.empty:
+        # no order clears the threshold: Ray drops the columns of a
+        # zero-row to_pandas — rebuild the empty frame with its schema
+        big = pd.DataFrame({"l_orderkey": [], "sum_qty_c": []})
     bk = big["l_orderkey"].to_numpy().astype(np.int64)
     order = np.argsort(bk, kind="stable")
     big_ref = ray.put((bk[order], big["sum_qty_c"].to_numpy()[order].astype(np.int64)))
@@ -2599,7 +2610,20 @@ def q18_large_orders(sf_dir: str, min_qty: int = 300) -> Dataset:
             }
         )
 
-    return orders.map_batches(probe, batch_format="pyarrow")
+    from spider_ray.blockutil import drop_empty_blocks
+
+    # schema survives an all-filtered result (Ray prunes empty blocks)
+    return drop_empty_blocks(
+        orders.map_batches(probe, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("c_name", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("totalprice_c", pa.int64()),
+                ("sum_qty_c", pa.int64()),
+            ]
+        ),
+    )
 
 
 def user_value_moving_sum(

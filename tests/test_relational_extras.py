@@ -1004,3 +1004,360 @@ def test_heavy_hitters_planted_and_vs_exact(tmp_path):
     approx = set(_df(heavy_hitter_tokens(SF001, k=20))["token"])
     exact = set(_df(top_tokens(SF001, k=20))["token"])
     assert len(approx & exact) >= 16, approx ^ exact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_moving_sum_bounded_frame(tmp_path):
+    """ROWS BETWEEN 2 PRECEDING AND CURRENT ROW: short groups clamp at the
+    group start (never read a previous user's rows), tied timestamps order
+    by event_id, and non-matching event types are filtered before the
+    window — all vs the DuckDB window oracle on the same table."""
+    from spider_ray.pipelines.relational import user_value_moving_sum
+
+    _write_events(
+        tmp_path,
+        event_id=[1, 2, 3, 4, 5, 6, 7],
+        ts=[
+            "2024-01-01 10:00:00",  # u1 p
+            "2024-01-01 10:00:00",  # u1 p (tie → by event_id)
+            "2024-01-01 10:00:02",  # u1 p
+            "2024-01-01 10:00:03",  # u1 p (frame drops event 1)
+            "2024-01-01 09:00:00",  # u2 p single → window = itself
+            "2024-01-01 09:30:00",  # u2 CLICK → filtered out
+            "2024-01-01 11:00:00",  # u3 p
+        ],
+        user_id=[1, 1, 1, 1, 2, 2, 3],
+        event_type=["purchase"] * 5 + ["click", "purchase"],
+        value=[1.0, 2.0, 4.0, 8.0, 5.0, 99.0, 7.0],
+    )
+    got = _df(user_value_moving_sum(str(tmp_path), num_shards=3))
+    want = _df(
+        duckdb.sql(
+            f"""SELECT event_id, user_id,
+            CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_c
+            FROM '{tmp_path}/events.parquet' WHERE event_type = 'purchase'"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by_eid = got.set_index("event_id")["moving_c"]
+    assert by_eid.loc[4] == 1400  # 2+4+8, event 1 rolled out
+    assert by_eid.loc[5] == 500  # singleton window
+    assert 6 not in by_eid.index  # click filtered
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clickers_without_purchase_day_grain_and_empty_schema(tmp_path):
+    """(user, day) EXCEPT semantics vs DuckDB, and — the regression that
+    motivated drop_empty_blocks here — an all-covered corpus returns an
+    EMPTY result that still carries the (user_id, day) schema."""
+    from spider_ray.pipelines.relational import clickers_without_purchase
+
+    _write_events(
+        tmp_path,
+        event_id=[1, 2, 3, 4, 5],
+        ts=[
+            "2024-01-01 10:00:00",  # u1 click day1
+            "2024-01-01 23:00:00",  # u1 purchase day1 → covered
+            "2024-01-02 10:00:00",  # u1 click day2, no purchase → survives
+            "2024-01-01 09:00:00",  # u2 click day1, no purchase → survives
+            "2024-01-03 09:00:00",  # u3 purchase only → never emits
+        ],
+        user_id=[1, 1, 1, 2, 3],
+        event_type=["click", "purchase", "click", "click", "purchase"],
+    )
+    got = _df(clickers_without_purchase(str(tmp_path)))
+    want = _df(
+        duckdb.sql(
+            f"""SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day
+            FROM '{tmp_path}/events.parquet' WHERE event_type = 'click'
+            EXCEPT SELECT user_id, date_trunc('day', ts)::TIMESTAMP
+            FROM '{tmp_path}/events.parquet' WHERE event_type = 'purchase'"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 2
+
+    # all clicks covered by same-day purchases → empty WITH schema
+    _write_events(
+        tmp_path,
+        event_id=[1, 2],
+        ts=["2024-01-01 10:00:00", "2024-01-01 11:00:00"],
+        user_id=[1, 1],
+        event_type=["click", "purchase"],
+    )
+    empty = clickers_without_purchase(str(tmp_path))
+    assert empty.count() == 0
+    # Ray's to_pandas drops columns on a zero-row dataset (the documented
+    # drop_empty_blocks contract asserts the SCHEMA instead)
+    assert [f.name for f in empty.schema().base_schema] == ["user_id", "day"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q17_predicate_and_empty_brand(tmp_path):
+    """The integer predicate (5·qty_c·n < sum_qty_c ⇔ qty < 0.2·avg) is
+    STRICT and exact at the boundary; a brand with no parts returns the
+    (0, 0) row rather than an empty or null table."""
+    from spider_ray.pipelines.relational import q17_small_qty_revenue
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_brand": pa.array(["B1", "B2"], pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    # part 1: quantities 1, 4, 5, 10 → avg 5, 0.2·avg = 1 → STRICTLY
+    # below 1 is nothing... use 0.5: qty_c=50, 5·50·4=1000 < sum_qty_c=2000
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "l_quantity": pa.array([0.5, 4.5, 5.0, 10.0, 1.0], pa.float64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0, 5.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = q17_small_qty_revenue(str(tmp_path), brand="B1").to_pandas()
+    want = duckdb.sql(
+        f"""WITH agg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sq
+        FROM '{tmp_path}/lineitem.parquet' JOIN '{tmp_path}/part.parquet'
+        ON l_partkey = p_partkey WHERE p_brand = 'B1' GROUP BY l_partkey)
+        SELECT CAST(coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT)), 0)
+        AS BIGINT) AS total_base_c, CAST(count(*) AS BIGINT) AS n_items
+        FROM '{tmp_path}/lineitem.parquet' l JOIN agg ON l.l_partkey = agg.l_partkey
+        WHERE 5 * CAST(round(l_quantity*100) AS BIGINT) * agg.n < agg.sq"""
+    ).df()
+    pd.testing.assert_frame_equal(_df(got), _df(want), check_dtype=False)
+    assert got["n_items"].iloc[0] == 1 and got["total_base_c"].iloc[0] == 1000
+
+    none = q17_small_qty_revenue(str(tmp_path), brand="NOPE").to_pandas()
+    assert none["total_base_c"].iloc[0] == 0 and none["n_items"].iloc[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q18_having_strictness(tmp_path):
+    """HAVING is strictly greater-than: an order summing exactly to the
+    threshold is excluded; customer names attach to the survivors."""
+    from spider_ray.pipelines.relational import q18_large_orders
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 20, 30], pa.int64()),
+                "l_quantity": pa.array([150.0, 150.0, 300.5, 10.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 20, 30], pa.int64()),
+                "o_custkey": pa.array([7, 8, 7], pa.int64()),
+                "o_totalprice": pa.array([100.0, 200.0, 300.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([7, 8], pa.int64()),
+                "c_name": pa.array(["Customer#7", "Customer#8"], pa.string()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    got = _df(q18_large_orders(str(tmp_path), min_qty=300))
+    # order 10 sums to exactly 300.00 → excluded; order 20 = 300.5 → kept
+    assert got["o_orderkey"].tolist() == [20]
+    assert got["c_name"].tolist() == ["Customer#8"]
+    assert got["sum_qty_c"].tolist() == [30050]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_bigrams_adjacency_and_ties(tmp_path):
+    """Bigrams never cross documents, empty-token pairs drop (double
+    space breaks adjacency), the tie-break is (n DESC, w1, w2), and the
+    sharded path (num_shards > 1) equals the DuckDB list_zip oracle."""
+    from spider_ray.pipelines.textops import top_bigrams
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["a b a b", "b a  b c", "c a"], pa.string()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = top_bigrams(str(tmp_path), k=10, num_shards=5).to_pandas()
+    want = duckdb.sql(
+        f"""WITH p AS (SELECT unnest(list_zip(ws, ws[2:])) AS z
+        FROM (SELECT string_split(text, ' ') AS ws
+        FROM '{tmp_path}/documents.parquet'))
+        SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS n FROM p
+        WHERE z[1] <> '' AND z[2] <> '' AND z[2] IS NOT NULL
+        GROUP BY z[1], z[2] ORDER BY n DESC, w1, w2 LIMIT 10"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # 'a b' appears twice in doc0 only; doc1's double space breaks 'a b'
+    assert got.iloc[0][["w1", "w2"]].tolist() == ["a", "b"]
+    assert got.iloc[0]["n"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_outer_balance_zero_fill(tmp_path):
+    """Nations with only customers or only suppliers survive with a zero
+    on the other side — the full-outer contract."""
+    from spider_ray.pipelines.relational import nation_customer_supplier_balance
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+                "n_name": pa.array(["BOTH", "CUSTONLY", "SUPPONLY"], pa.string()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c_nationkey": pa.array([0, 0, 1], pa.int32())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"s_nationkey": pa.array([0, 2, 2, 2], pa.int32())}),
+        str(tmp_path / "supplier.parquet"),
+    )
+    got = (
+        nation_customer_supplier_balance(str(tmp_path))
+        .to_pandas()
+        .set_index("n_name")
+        .sort_index()
+    )
+    assert got.loc["BOTH"].tolist() == [2, 1]
+    assert got.loc["CUSTONLY"].tolist() == [1, 0]
+    assert got.loc["SUPPONLY"].tolist() == [0, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hourly_active_users_dedup(tmp_path):
+    """A user active 3× in one hour counts once; hour boundaries split."""
+    from spider_ray.pipelines.relational import hourly_active_users
+
+    _write_events(
+        tmp_path,
+        event_id=[1, 2, 3, 4, 5],
+        ts=[
+            "2024-01-01 10:00:00",
+            "2024-01-01 10:20:00",
+            "2024-01-01 10:59:59",  # same user, same hour ×3 → 1
+            "2024-01-01 11:00:00",  # next hour → counts again
+            "2024-01-01 10:30:00",  # second user same hour
+        ],
+        user_id=[1, 1, 1, 1, 2],
+        event_type=["a"] * 5,
+    )
+    got = _df(hourly_active_users(str(tmp_path)))
+    assert got["n_users"].tolist() == [2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_and_stratified_sample_partition(tmp_path):
+    """split_documents partitions the corpus exactly (Σ n_docs == total,
+    Σ total_chars == corpus chars) and stratified rates bound each
+    stratum's sample: rate 0 keeps nothing, rate 100 keeps everything."""
+    from spider_ray.pipelines.textops import (
+        split_documents,
+        stratified_sample_documents,
+    )
+
+    texts = [f"doc number {i} with some words" for i in range(200)]
+    langs = ["en" if i % 2 == 0 else "de" for i in range(200)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sp = split_documents(str(tmp_path)).to_pandas()
+    assert sp["n_docs"].sum() == 200
+    assert sp["total_chars"].sum() == sum(len(t) for t in texts)
+    assert set(sp["split"]) <= {"train", "val", "test"}
+
+    none_en = stratified_sample_documents(
+        str(tmp_path), rates={"en": 0}, default_rate=100
+    ).to_pandas()
+    assert (none_en["lang"] == "de").all() and len(none_en) == 100
+    all_docs = stratified_sample_documents(
+        str(tmp_path), rates={}, default_rate=100
+    ).to_pandas()
+    assert len(all_docs) == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_invindex_pruned_lookup(tmp_path):
+    """The lookup opens ONLY the query tokens' bucket dirs (path-level
+    pruning), postings match a direct recount, an absent token contributes
+    no rows, and a token outside the probed buckets is invisible even if
+    its text matched — the partition contract."""
+    from spider_ray.pipelines.textops import (
+        _token_bucket,
+        invindex_bucket_paths,
+        invindex_ingest,
+        invindex_lookup,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta alpha", "beta gamma", "alpha  gamma gamma"],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    invindex_ingest(str(tmp_path), idx, n_buckets=8)
+
+    got = (
+        invindex_lookup(idx, ["alpha", "gamma", "nope"], n_buckets=8)
+        .to_pandas()
+        .sort_values(["token", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM '{tmp_path}/documents.parquet')
+        WHERE token IN ('alpha', 'gamma', 'nope')
+        GROUP BY token, doc_id ORDER BY token, doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # pruning: the probed path set excludes every bucket none of the query
+    # tokens hash to — a token in an unprobed bucket never leaves storage
+    probed = set(invindex_bucket_paths(idx, ["alpha", "gamma", "nope"], 8))
+    all_paths = set(invindex_bucket_paths(idx, ["alpha", "beta", "gamma", "nope"], 8))
+    qb = set(_token_bucket(np.array(["alpha", "gamma", "nope"], dtype=object), 8))
+    bb = _token_bucket(np.array(["beta"], dtype=object), 8)[0]
+    if bb not in qb:  # no collision → beta's bucket must not be probed
+        assert probed < all_paths
+        beta_only = invindex_lookup(idx, ["alpha"], n_buckets=8).to_pandas()
+        assert "beta" not in set(beta_only["token"])
