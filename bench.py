@@ -199,6 +199,7 @@ QUERY_BENCH = [
     "split_documents",
     "nation_customer_supplier_balance",
     "hourly_active_users",
+    "inverted_index_lookup",
 ]
 
 

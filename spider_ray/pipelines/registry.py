@@ -898,3 +898,14 @@ ORACLE_SQL["hourly_active_users"] = (
     "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
     "FROM events GROUP BY 1"
 )
+
+# inverted text index driven end-to-end: token-hash-bucketed partitioned
+# parquet ingest under /tmp, then a lookup that opens ONLY the query
+# tokens' buckets (pruning asserted in tests/test_relational_extras.py)
+QUERIES["inverted_index_lookup"] = textops.inverted_index_lookup
+ORACLE_SQL["inverted_index_lookup"] = (
+    "SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) "
+    "WHERE token IN ('scan', 'column', 'window', 'zz-absent-token') "
+    "GROUP BY token, doc_id"
+)

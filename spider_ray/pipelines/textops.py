@@ -986,3 +986,99 @@ def split_documents(
             Sum("total_chars", alias_name="total_chars"),
         )
     )
+
+
+def _token_bucket(tokens: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Token → bucket id, shared by ingest and lookup (both sides of one
+    job run the same pandas build; the cross-version skew concern the
+    fetch index guards against does not arise for a /tmp-lifetime index)."""
+    return (pd.util.hash_array(tokens) % n_buckets).astype(np.int64)
+
+
+def invindex_ingest(sf_dir: str, index_dir: str, n_buckets: int = 16) -> None:
+    """Build a distributed INVERTED TEXT INDEX: one (token, doc_id, tf)
+    posting row per distinct (document, token), written as parquet
+    PARTITIONED BY token-hash bucket (hive dirs ``bucket=K/``) — the
+    text-retrieval sibling of ``ann.ivf_ingest``. Postings for one token
+    land in exactly one bucket, so a lookup opens only its query tokens'
+    buckets; at the 100 TB tier non-probed buckets never leave storage.
+
+    One streaming pass over the text (the ``_partial_tf_rows`` combiner:
+    per-(doc, token) rows, never per occurrence — a document is never
+    split across batches, so per-batch tf is final); the write IS the
+    shuffle (each task writes its rows under their bucket dirs)."""
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+
+    def with_bucket(b: pa.Table) -> pd.DataFrame:
+        d = _partial_tf_rows(b)
+        d.insert(
+            0, "bucket", _token_bucket(d["token"].to_numpy(dtype=object), n_buckets)
+        )
+        return d
+
+    _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        with_bucket, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+
+
+def invindex_bucket_paths(
+    index_dir: str, tokens: list[str], n_buckets: int = 16
+) -> list[str]:
+    """The parquet files a lookup for ``tokens`` must open — ONLY the query
+    tokens' bucket dirs (factored out so tests can assert the pruning)."""
+    import glob
+
+    buckets = sorted(
+        set(_token_bucket(np.asarray(tokens, dtype=object), n_buckets).tolist())
+    )
+    return sorted(
+        f
+        for b in buckets
+        for f in glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+    )
+
+
+def invindex_lookup(
+    index_dir: str, tokens: list[str], n_buckets: int = 16
+) -> Dataset:
+    """Posting lookup over the bucket-partitioned index: open only the
+    query tokens' buckets, then filter token ∈ query at the read (row-group
+    pruning on the token column). Returns (token, doc_id, tf)."""
+    import pyarrow.compute as pc
+
+    from spider_ray.blockutil import read_clean_parquet
+
+    paths = invindex_bucket_paths(index_dir, tokens, n_buckets)
+    if not paths:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("token", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())]
+            ).empty_table()
+        )
+    ds = read_clean_parquet(
+        paths,
+        columns=["token", "doc_id", "tf"],
+        filter=pc.field("token").isin(tokens),
+    )
+    return ds
+
+
+def inverted_index_lookup(sf_dir: str) -> Dataset:
+    """Driver query: build the index under /tmp from the documents table,
+    then look up three common tokens plus one absent one (exercises the
+    empty-bucket path). The oracle recomputes the postings directly from
+    the text."""
+    import shutil
+    import tempfile
+
+    tokens = ["scan", "column", "window", "zz-absent-token"]
+    idx = tempfile.mkdtemp(prefix="spider_ray_invidx_")
+    try:
+        invindex_ingest(sf_dir, idx)
+        out = invindex_lookup(idx, tokens).materialize()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out
