@@ -11,8 +11,9 @@ chained CTEs (standard SQL forbids aggregation in a recursive CTE member).
 
 Scale shape: one iteration = one ``map_batches`` (emit the node's teleport
 row plus one share row per out-edge, partial-aggregated per destination
-inside the batch — sort + reduceat, the q1 combiner) + one hash groupby
-sum keyed on the destination node. The shuffle carries two-int64 rows,
+inside the batch — sort + reduceat, the q1 combiner) + one int-shard hash
+groupby whose per-shard reduce is a vectorized sort+reduceat keyed on the
+destination node. The shuffle carries two-int64 rows,
 O(distinct dsts per block), never the text. K iterations chain lazily into
 one streaming DAG; nothing materializes until the final top-k, which is a
 per-block partial top-k + an answer-sized driver merge (the brute_topk
@@ -31,7 +32,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 # synthetic edge rule constants — shared verbatim with the SQL oracle
 _EDGE_A = 2654435761  # Knuth multiplicative-hash constant
@@ -76,12 +76,17 @@ def pagerank_docs(
 
     ranks = docs.map_batches(init, batch_format="pyarrow")
 
+    from spider_ray.blockutil import default_join_partitions
+
+    num_shards = default_join_partitions()
+
     def step(b: pa.Table) -> pa.Table:
         node = b.column("node").to_numpy()
         r = b.column("r").to_numpy()
         if not len(node):
             return pa.table(
                 {
+                    "_s": pa.array([], pa.int64()),
                     "node": pa.array([], pa.int64()),
                     "r": pa.array([], pa.int64()),
                     "is_node": pa.array([], pa.int64()),
@@ -110,28 +115,44 @@ def pagerank_docs(
         order = np.argsort(dst, kind="stable")
         dst, val, is_node = dst[order], val[order], is_node[order]
         starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+        dst = dst[starts]
         return pa.table(
             {
-                "node": pa.array(dst[starts], pa.int64()),
+                "_s": pa.array(
+                    (pd.util.hash_array(dst) % num_shards).astype(np.int64)
+                ),
+                "node": pa.array(dst, pa.int64()),
                 "r": pa.array(np.add.reduceat(val, starts)),
                 "is_node": pa.array(np.add.reduceat(is_node, starts)),
             }
         )
 
-    def drop_phantoms(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        kept = b.filter(pc.greater(b.column("is_node"), 0))
-        return kept.select(["node", "r"])
+    # Per-iteration reduce is an INT-SHARD groupby (each destination node
+    # co-located on its hash shard; one vectorized sort+reduceat per shard,
+    # phantom drop fused in) — a node-grain ``groupby(node)`` sort-aggregate
+    # measured ~0.7 s/iteration at sf0.1 vs ~0.1 s for the shard shape.
+    def shard_sum(g: pd.DataFrame) -> pa.Table:
+        node = g["node"].to_numpy()
+        r = g["r"].to_numpy()
+        isn = g["is_node"].to_numpy()
+        order = np.argsort(node, kind="stable")
+        node, r, isn = node[order], r[order], isn[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        node = node[starts]
+        rs = np.add.reduceat(r, starts)
+        keep = np.add.reduceat(isn, starts) > 0
+        return pa.table(
+            {
+                "node": pa.array(node[keep], pa.int64()),
+                "r": pa.array(rs[keep], pa.int64()),
+            }
+        )
 
     for _ in range(iterations):
         ranks = (
             ranks.map_batches(step, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(
-                Sum("r", alias_name="r"), Sum("is_node", alias_name="is_node")
-            )
-            .map_batches(drop_phantoms, batch_format="pyarrow")
+            .groupby("_s")
+            .map_groups(shard_sum, batch_format="pandas")
         )
 
     def local_topk(b: pa.Table) -> pa.Table:

@@ -1695,7 +1695,7 @@ def q5_revenue_by_nation(
 
     Revenue uses the q1 integer contract (``cents(extprice) × (100 −
     cents(discount))``) so partial sums match DuckDB bit-exactly."""
-    from spider_ray.blockutil import default_join_partitions
+    from spider_ray.blockutil import default_join_partitions, final_merge
 
     if num_shards is None:
         num_shards = default_join_partitions()
@@ -1812,32 +1812,37 @@ def q5_revenue_by_nation(
             }
         )
 
-    per_nat = (
-        tagged.groupby("_s")
-        .map_groups(shard_join, batch_format="pandas")
-        .groupby("nat")
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
-    )
+    per_nat = tagged.groupby("_s").map_groups(shard_join, batch_format="pandas")
 
-    # nation-name attach: ≤25 rows by contract — a driver-side lookup, not
-    # a join stage
+    # Final reduce: shard_join already emits per-nation partials (≤25 rows ×
+    # P shards), so the finish is ANSWER-sized — final_merge's single task
+    # replaces a second sort-based groupby all-to-all (measured ~2.5 s of
+    # the 7.3 s wall at sf0.1 for 800 rows). Nation names (≤25 by contract)
+    # ride the closure; the merge keys on n_name so a second application is
+    # a no-op (final_merge's idempotence contract).
     nt = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     nk = nt.column("n_nationkey").to_numpy().astype(np.int64)
     names = np.asarray(nt.column("n_name").to_pylist(), dtype=object)
     order = np.argsort(nk, kind="stable")
     nk, names = nk[order], names[order]
 
-    def attach_name(b: pa.Table) -> pa.Table:
-        nat = b.column("nat").to_numpy()
-        pos = np.minimum(np.searchsorted(nk, nat), max(len(nk) - 1, 0))
-        return pa.table(
-            {
-                "n_name": pa.array(np.take(names, pos), pa.string()),
-                "revenue_c4": b.column("revenue_c4"),
-            }
-        )
+    def merge_nations(d: pd.DataFrame) -> pd.DataFrame:
+        if "nat" in d.columns:
+            nat = d["nat"].to_numpy()
+            pos = np.minimum(np.searchsorted(nk, nat), max(len(nk) - 1, 0))
+            d = pd.DataFrame(
+                {
+                    "n_name": np.take(names, pos),
+                    "revenue_c4": d["revenue_c4"].to_numpy(),
+                }
+            )
+        return d.groupby("n_name", as_index=False)["revenue_c4"].sum()
 
-    return per_nat.map_batches(attach_name, batch_format="pyarrow")
+    return final_merge(
+        per_nat,
+        merge_nations,
+        pa.schema([("n_name", pa.string()), ("revenue_c4", pa.int64())]),
+    )
 
 
 def latest_event_per_user(sf_dir: str, num_shards: int | None = None) -> Dataset:
@@ -2070,7 +2075,7 @@ def high_value_lineitem_stats(
     documented seam, same contract. Exactness does NOT depend on the bloom:
     every survivor is re-verified against the true key set in the shard
     semi-join below, so false positives cost only shuffle bytes."""
-    from spider_ray.blockutil import default_join_partitions
+    from spider_ray.blockutil import default_join_partitions, final_merge
 
     if num_shards is None:
         num_shards = default_join_partitions()
@@ -2184,14 +2189,27 @@ def high_value_lineitem_stats(
             }
         )
 
-    return (
-        tagged.groupby("_s")
-        .map_groups(shard_verify, batch_format="pandas")
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("sum_base_c", alias_name="sum_base_c"),
-        )
+    per_flag = tagged.groupby("_s").map_groups(shard_verify, batch_format="pandas")
+
+    # shard_verify already reduced to ≤|flags| rows per shard — finish with
+    # final_merge's single answer-sized task instead of a second sort-based
+    # groupby all-to-all (the q5 fix; measured ~2.5 s of wall at sf0.1).
+    # Keyed sums of partial sums are idempotent under re-application.
+    def merge_flags(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("l_returnflag", as_index=False)[
+            ["n_items", "sum_base_c"]
+        ].sum()
+
+    return final_merge(
+        per_flag,
+        merge_flags,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("n_items", pa.int64()),
+                ("sum_base_c", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -2543,11 +2561,17 @@ def q18_large_orders(sf_dir: str, min_qty: int = 300) -> Dataset:
     total lineitem quantity exceeds ``min_qty``, with customer name.
 
     Physical plan: per-batch PARTIAL (orderkey, qty_c) sums → one
-    orderkey groupby (combiner-reduced exchange) → HAVING filter, which is
-    ANSWER-sized by construction (the threshold selects the extreme tail)
-    → broadcast the qualifying (orderkey, sum_qty_c) + the customer
-    name dimension → one streaming probe pass over orders. No fact⋈fact
-    shuffle: the only exchange is the combiner groupby."""
+    INT-SHARD hash groupby (each orderkey co-located on its hash shard, so
+    the per-shard reduce is one vectorized reduceat AND applies the HAVING
+    filter locally — the shard output is already the answer-sized tail;
+    a key-grain ``groupby(l_orderkey)`` sort-aggregate measured 4.1 s of
+    the 4.7 s wall at sf0.1 vs ~0.6 s for the shard shape) → broadcast the
+    qualifying (orderkey, sum_qty_c) + the customer name dimension → one
+    streaming probe pass over orders. No fact⋈fact shuffle: the only
+    exchange is the combiner-reduced shard groupby."""
+    from spider_ray.blockutil import default_join_partitions
+
+    num_shards = default_join_partitions()
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -2557,14 +2581,35 @@ def q18_large_orders(sf_dir: str, min_qty: int = 300) -> Dataset:
         sq = np.zeros(len(uk), dtype=np.int64)
         np.add.at(sq, inv, qty_c)
         return pa.table(
-            {"l_orderkey": pa.array(uk, pa.int64()), "sum_qty_c": pa.array(sq)}
+            {
+                "_s": pa.array(
+                    (pd.util.hash_array(uk) % num_shards).astype(np.int64)
+                ),
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "sum_qty_c": pa.array(sq),
+            }
+        )
+
+    def shard_sum(g: pd.DataFrame) -> pa.Table:
+        key = g["l_orderkey"].to_numpy()
+        sq = g["sum_qty_c"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, sq = key[order], sq[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        tot = np.add.reduceat(sq, starts) if len(key) else sq
+        key = key[starts]
+        keep = tot > min_qty * 100  # HAVING, applied at the shard grain
+        return pa.table(
+            {
+                "l_orderkey": pa.array(key[keep], pa.int64()),
+                "sum_qty_c": pa.array(tot[keep], pa.int64()),
+            }
         )
 
     big = (
         line.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"))
-        .filter(expr=f"sum_qty_c > {min_qty * 100}")
+        .groupby("_s")
+        .map_groups(shard_sum, batch_format="pandas")
         .to_pandas()  # answer-sized: the HAVING tail
     )
     if big.empty:
