@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
@@ -127,6 +128,40 @@ def final_merge(
         )
     return base.repartition(1).map_batches(
         fn, batch_format=batch_format, batch_size=None
+    )
+
+
+def merge_keyed_sums(
+    partials: Dataset,
+    *,
+    keys: list[str],
+    sums: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    empty_schema: pa.Schema,
+    threshold_rows: int = 2_000_000,
+) -> Dataset:
+    """final_merge specialization for the commonest finish: per-block
+    partial aggregates over a BOUNDED key grid (returnflag×linestatus,
+    segment, priority, hour, …). The input is key-grid × blocks rows, so
+    one task replaces a full sort-based ``groupby(keys).aggregate(…)``
+    all-to-all — measured ~1-2.5 s per query at sf0.1/32 cpus for grids of
+    5-500 keys. Pass ``sums`` for all-sum columns or ``aggs`` mapping
+    column → 'sum' | 'max' | 'min'; each is a semigroup merge of partials,
+    idempotent under re-application, which is final_merge's fn contract
+    (the two-level guard may apply fn twice)."""
+    if aggs is None:
+        aggs = {c: "sum" for c in (sums or [])}
+    cols = list(aggs)
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a null key is a real group under Ray's groupby
+        # (e.g. orders_by_segment's unmatched-order segment) — pandas
+        # would silently drop it otherwise
+        out = d.groupby(keys, as_index=False, sort=False, dropna=False).agg(aggs)
+        return out[keys + cols]
+
+    return final_merge(
+        partials, merge, empty_schema, threshold_rows=threshold_rows
     )
 
 

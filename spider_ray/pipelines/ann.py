@@ -682,10 +682,14 @@ def kmeans_clusters(
         nz = np.flatnonzero(counts)
         return pd.DataFrame({"cluster_id": nz.astype(np.int64), "n_vecs": counts[nz]})
 
-    from ray.data.aggregate import Sum
+    from spider_ray.blockutil import merge_keyed_sums
 
-    return (
-        ds.map_batches(final_counts, batch_format="pandas", batch_size=4096)
-        .groupby("cluster_id")
-        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+    # k-clusters × blocks partial rows — answer-sized single-task finish
+    return merge_keyed_sums(
+        ds.map_batches(final_counts, batch_format="pandas", batch_size=4096),
+        keys=["cluster_id"],
+        sums=["n_vecs"],
+        empty_schema=pa.schema(
+            [("cluster_id", pa.int64()), ("n_vecs", pa.int64())]
+        ),
     )

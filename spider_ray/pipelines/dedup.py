@@ -44,7 +44,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
 
 # 64 universal-hash permutations over a Mersenne prime — fixed seeds, so
 # every worker computes identical signatures.
@@ -210,17 +209,43 @@ def exact_dedup(sf_dir: str) -> Dataset:
     The md5 crosses the shuffle as TWO int64 columns (digest halves,
     big-endian bit patterns), not as a 32-char hex string: fixed-width int
     keys halve the shuffled key bytes and sort/hash without string
-    compares. The hex column the oracle expects is rebuilt VECTORIZED
-    (one hexlify over the packed digests) after the aggregate."""
+    compares. The reduce is the INT-SHARD groupby (fingerprints co-located
+    by ``fp_hi % num_shards`` — already uniform, being md5 bits; min-doc_id
+    per key is one lexsort + first-per-key slice per shard) — a two-key
+    ``groupby((fp_hi, fp_lo))`` sort-aggregate measured ~1.3 s slower at
+    sf0.1. The hex column the oracle expects is rebuilt VECTORIZED (one
+    hexlify over the packed digests) after the reduce."""
+    from spider_ray.blockutil import default_join_partitions
+
+    num_shards = default_join_partitions()
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
         digs = b"".join(hashlib.md5(t.encode()).digest() for t in batch["text"])
         halves = np.frombuffer(digs, dtype=">u8").reshape(-1, 2)
+        hi = halves[:, 0].astype(np.uint64).view(np.int64)
         return pd.DataFrame(
             {
-                "fp_hi": halves[:, 0].astype(np.uint64).view(np.int64),
+                "_s": (hi.view(np.uint64) % np.uint64(num_shards)).astype(np.int64),
+                "fp_hi": hi,
                 "fp_lo": halves[:, 1].astype(np.uint64).view(np.int64),
                 "doc_id": batch["doc_id"],
+            }
+        )
+
+    def shard_min(g: pd.DataFrame) -> pa.Table:
+        hi = g["fp_hi"].to_numpy()
+        lo = g["fp_lo"].to_numpy()
+        did = g["doc_id"].to_numpy()
+        order = np.lexsort((did, lo, hi))
+        hi, lo, did = hi[order], lo[order], did[order]
+        firsts = np.flatnonzero(
+            np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+        )
+        return pa.table(
+            {
+                "fp_hi": pa.array(hi[firsts], pa.int64()),
+                "fp_lo": pa.array(lo[firsts], pa.int64()),
+                "doc_id": pa.array(did[firsts], pa.int64()),
             }
         )
 
@@ -237,8 +262,8 @@ def exact_dedup(sf_dir: str) -> Dataset:
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pandas")
     return (
-        ds.groupby(["fp_hi", "fp_lo"])
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        ds.groupby("_s")
+        .map_groups(shard_min, batch_format="pandas")
         .map_batches(to_hex, batch_format="pyarrow")
     )
 

@@ -77,13 +77,19 @@ def source_counts(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("total_chars", alias_name="total_chars"),
-        )
+    from spider_ray.blockutil import merge_keyed_sums
+
+    return merge_keyed_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["source"],
+        sums=["n_docs", "total_chars"],
+        empty_schema=pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -149,12 +155,23 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
             }
         )
 
+    from spider_ray.blockutil import merge_keyed_sums
+
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty_c", alias_name="sum_qty_c"),
-        Sum("sum_base_c", alias_name="sum_base_c"),
-        Sum("sum_disc_c4", alias_name="sum_disc_c4"),
-        Sum("count_order", alias_name="count_order"),
+    return merge_keyed_sums(
+        partials,
+        keys=["l_returnflag", "l_linestatus"],
+        sums=["sum_qty_c", "sum_base_c", "sum_disc_c4", "count_order"],
+        empty_schema=pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty_c", pa.int64()),
+                ("sum_base_c", pa.int64()),
+                ("sum_disc_c4", pa.int64()),
+                ("count_order", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -209,9 +226,20 @@ def orders_by_segment(sf_dir: str) -> Dataset:
             }
         )
 
+    from spider_ray.blockutil import merge_keyed_sums
+
     partials = ds.map_batches(join_partial, batch_format="pyarrow", batch_size=16384)
-    return partials.groupby("mktsegment").aggregate(
-        Sum("n_orders", alias_name="n_orders"), Sum("total_c", alias_name="total_c")
+    return merge_keyed_sums(
+        partials,
+        keys=["mktsegment"],
+        sums=["n_orders", "total_c"],
+        empty_schema=pa.schema(
+            [
+                ("mktsegment", pa.string()),
+                ("n_orders", pa.int64()),
+                ("total_c", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -258,12 +286,16 @@ def events_hourly(sf_dir: str) -> Dataset:
             batch.column("hour").cast(pa.timestamp("us")),
         )
 
-    return (
-        ds.map_batches(trunc, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(cast_back, batch_format="pyarrow")
-    )
+    from spider_ray.blockutil import merge_keyed_sums
+
+    return merge_keyed_sums(
+        ds.map_batches(trunc, batch_format="pyarrow"),
+        keys=["event_type", "hour"],
+        sums=["n"],
+        empty_schema=pa.schema(
+            [("event_type", pa.string()), ("hour", pa.int64()), ("n", pa.int64())]
+        ),
+    ).map_batches(cast_back, batch_format="pyarrow")
 
 
 def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Dataset:
@@ -319,12 +351,20 @@ def events_sliding(sf_dir: str, size_min: int = 60, slide_min: int = 30) -> Data
             batch.column("window_start").cast(pa.timestamp("us")),
         )
 
-    return (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(cast_back, batch_format="pyarrow")
-    )
+    from spider_ray.blockutil import merge_keyed_sums
+
+    return merge_keyed_sums(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        keys=["event_type", "window_start"],
+        sums=["n"],
+        empty_schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("window_start", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    ).map_batches(cast_back, batch_format="pyarrow")
 
 
 def top_events_per_type(sf_dir: str, k: int = 3) -> Dataset:
@@ -366,8 +406,15 @@ def top_events_per_type(sf_dir: str, k: int = 3) -> Dataset:
 
 
 def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
-    """Per-batch PARTIAL counts (q1 combiner pattern) → small groupby →
-    top-k; the shuffle carries O(users × blocks) rows, never O(events)."""
+    """Per-batch PARTIAL counts (q1 combiner pattern) → INT-SHARD groupby
+    (each user co-located on its hash shard; the shard sums per user and
+    keeps its local top-k, valid because the global top-k is a subset of
+    the union of shard top-ks) → answer-sized final merge. The shuffle
+    carries O(users × blocks) rows, never O(events), and nothing pays a
+    user-grain sort."""
+    from spider_ray.blockutil import default_join_partitions, final_merge
+
+    num_shards = default_join_partitions()
     ds = _read(sf_dir, "events", ["user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -376,16 +423,47 @@ def top_users_by_events(sf_dir: str, k: int = 10) -> Dataset:
         )
         g = t.group_by("user_id").aggregate([("n_events", "sum")])
         # by-name selection — see source_counts for why not rename_columns
+        uid = g.column("user_id").to_numpy()
         return pa.table(
-            {"user_id": g.column("user_id"), "n_events": g.column("n_events_sum")}
+            {
+                "_s": pa.array(
+                    (pd.util.hash_array(uid) % num_shards).astype(np.int64)
+                ),
+                "user_id": g.column("user_id"),
+                "n_events": g.column("n_events_sum"),
+            }
         )
 
-    agg = (
+    def shard_topk(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        n = g["n_events"].to_numpy()
+        order = np.argsort(uid, kind="stable")
+        uid, n = uid[order], n[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        uid = uid[starts]
+        tot = np.add.reduceat(n, starts)
+        top = np.lexsort((uid, -tot))[:k]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[top], pa.int64()),
+                "n_events": pa.array(tot[top], pa.int64()),
+            }
+        )
+
+    def merge_topk(d: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((d["user_id"].to_numpy(), -d["n_events"].to_numpy()))[:k]
+        return d.iloc[order].reset_index(drop=True)
+
+    shards = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("n_events", alias_name="n_events"))
+        .groupby("_s")
+        .map_groups(shard_topk, batch_format="pandas")
     )
-    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+    return final_merge(
+        shards,
+        merge_topk,
+        pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())]),
+    )
 
 
 def q3_shipping_priority(
@@ -687,8 +765,17 @@ def distinct_users_per_type(sf_dir: str, num_shards: int | None = None) -> Datas
             }
         )
 
+    from spider_ray.blockutil import merge_keyed_sums
+
     partials = part.groupby("_s").map_groups(shard_count, batch_format="pandas")
-    return partials.groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
+    return merge_keyed_sums(
+        partials,
+        keys=["event_type"],
+        sums=["n_users"],
+        empty_schema=pa.schema(
+            [("event_type", pa.string()), ("n_users", pa.int64())]
+        ),
+    )
 
 
 def distinct_users_hll(sf_dir: str, precision_bits: int = 12) -> pa.Table:
@@ -889,12 +976,12 @@ def doc_length_quantiles(
         # by-name selection — see source_counts for why not rename_columns
         return pa.table({"n_chars": g.column("n_chars"), "n": g.column("n_sum")})
 
-    hist = (
-        ds.map_batches(local_counts, batch_format="pyarrow")
-        .groupby("n_chars")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # distinct-value-sized, never row-sized
-    )
+    # partials are distinct-value × blocks rows (bounded by the value
+    # domain) — merge them on the driver with one pandas groupby instead of
+    # paying a sort-based all-to-all before an inevitable to_pandas
+    hist = ds.map_batches(local_counts, batch_format="pyarrow").to_pandas()
+    if len(hist):
+        hist = hist.groupby("n_chars", as_index=False)["n"].sum()
     names = [f"p{round(q * 100)}" for q in qs]
     if not len(hist):
         return pa.table({nm: pa.array([None], pa.int64()) for nm in names})
@@ -1178,12 +1265,12 @@ def length_quantiles_by_source(
             }
         )
 
-    hist = (
-        ds.map_batches(local_counts, batch_format="pyarrow")
-        .groupby(["source", "n_chars"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # O(sources × distinct lengths), never row-sized
-    )
+    # partials are O(sources × distinct lengths × blocks) — driver-side
+    # pandas merge beats a sort-based all-to-all before an inevitable
+    # to_pandas (the doc_length_quantiles rationale)
+    hist = ds.map_batches(local_counts, batch_format="pyarrow").to_pandas()
+    if len(hist):
+        hist = hist.groupby(["source", "n_chars"], as_index=False)["n"].sum()
     names = [f"p{round(q * 100)}" for q in qs]
     out: dict[str, list] = {"source": []}
     for nm in names:
@@ -1317,16 +1404,20 @@ def props_extract_stats(sf_dir: str) -> Dataset:
             }
         )
 
-    from ray.data.aggregate import Max
+    from spider_ray.blockutil import merge_keyed_sums
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Sum("sum_k", alias_name="sum_k"),
-            Max("max_k", alias_name="max_k"),
-            Sum("n", alias_name="n"),
-        )
+    return merge_keyed_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={"sum_k": "sum", "max_k": "max", "n": "sum"},
+        empty_schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("sum_k", pa.int64()),
+                ("max_k", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -1460,9 +1551,20 @@ def event_type_transitions(sf_dir: str, num_shards: int | None = None) -> Datase
             }
         )
 
+    from spider_ray.blockutil import merge_keyed_sums
+
     partials = part.groupby("_s").map_groups(shard_transitions, batch_format="pandas")
-    return partials.groupby(["prev_type", "event_type"]).aggregate(
-        Sum("n", alias_name="n")
+    return merge_keyed_sums(
+        partials,
+        keys=["prev_type", "event_type"],
+        sums=["n"],
+        empty_schema=pa.schema(
+            [
+                ("prev_type", pa.string()),
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -1575,6 +1677,9 @@ def events_type_pivot(
     the q1 combiner contract, never one row per event. An UNKNOWN-vocab
     pivot would need a distinct-types pass first (the two-phase seam);
     every named use here has a closed vocabulary."""
+    from spider_ray.blockutil import default_join_partitions
+
+    num_shards = default_join_partitions()
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     names = [f"n_{t}" for t in types]
 
@@ -1589,15 +1694,34 @@ def events_type_pivot(
             [(nm, "sum") for nm in names]
         )
         # by-name selection — see source_counts for why not rename_columns
-        out = {"user_id": g.column("user_id")}
+        uid = g.column("user_id").to_numpy()
+        out = {
+            "_s": pa.array((pd.util.hash_array(uid) % num_shards).astype(np.int64)),
+            "user_id": g.column("user_id"),
+        }
         for nm in names:
             out[nm] = g.column(f"{nm}_sum")
         return pa.table(out)
 
+    # INT-SHARD groupby: users co-located by hash, one vectorized
+    # sort+reduceat per shard — replaces the user-grain sort-aggregate
+    # (the q18 shape); output stays distributed (it is user-sized)
+    def shard_pivot(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        out = {"user_id": pa.array(uid[starts], pa.int64())}
+        for nm in names:
+            out[nm] = pa.array(
+                np.add.reduceat(g[nm].to_numpy()[order], starts), pa.int64()
+            )
+        return pa.table(out)
+
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(*[Sum(nm, alias_name=nm) for nm in names])
+        .groupby("_s")
+        .map_groups(shard_pivot, batch_format="pandas")
     )
 
 
@@ -1636,13 +1760,20 @@ def source_lang_rollup(sf_dir: str) -> Dataset:
             }
         )
 
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["source", "lang"])
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("total_chars", alias_name="total_chars"),
-        )
+    from spider_ray.blockutil import merge_keyed_sums
+
+    finest = merge_keyed_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["source", "lang"],
+        sums=["n_docs", "total_chars"],
+        empty_schema=pa.schema(
+            [
+                ("source", pa.string()),
+                ("lang", pa.string()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+            ]
+        ),
     )
 
     def rollup(d: pd.DataFrame) -> pd.DataFrame:
@@ -1948,9 +2079,15 @@ def doc_length_histogram(sf_dir: str, bin_width: int = 50) -> Dataset:
             }
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("bin").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("total_chars", alias_name="total_chars"),
+    from spider_ray.blockutil import merge_keyed_sums
+
+    return merge_keyed_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["bin"],
+        sums=["n_docs", "total_chars"],
+        empty_schema=pa.schema(
+            [("bin", pa.int64()), ("n_docs", pa.int64()), ("total_chars", pa.int64())]
+        ),
     )
 
 
@@ -1959,11 +2096,14 @@ def repeat_buyers(sf_dir: str) -> Dataset:
     and a purchase event (the audience-segmentation shape; SQL INTERSECT).
 
     Physical shape: each batch reduces to at most one (user, has_click,
-    has_purchase) flag row per user seen in the batch (arrow group_by max),
-    a hash groupby ORs the flags, and a filter keeps the intersection —
-    rows shuffled = O(users × blocks) flag rows, output = answer-sized."""
-    from ray.data.aggregate import Max
+    has_purchase) flag row per user seen in the batch (arrow group_by max);
+    the INT-SHARD groupby co-locates each user, so one vectorized
+    maximum.reduceat per shard ORs the flags AND applies the both-flags
+    filter locally — rows shuffled = O(users × blocks) flag rows, shard
+    output already answer-sized (no user-grain sort-aggregate)."""
+    from spider_ray.blockutil import default_join_partitions
 
+    num_shards = default_join_partitions()
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1981,29 +2121,33 @@ def repeat_buyers(sf_dir: str) -> Dataset:
         g = flags.group_by("user_id").aggregate(
             [("has_click", "max"), ("has_purchase", "max")]
         )
+        uid = g.column("user_id").to_numpy()
         return pa.table(
             {
+                "_s": pa.array(
+                    (pd.util.hash_array(uid) % num_shards).astype(np.int64)
+                ),
                 "user_id": g.column("user_id"),
                 "has_click": g.column("has_click_max"),
                 "has_purchase": g.column("has_purchase_max"),
             }
         )
 
-    both = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(
-            Max("has_click", alias_name="has_click"),
-            Max("has_purchase", alias_name="has_purchase"),
-        )
-    )
-    def keep_both(b: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.equal(b.column("has_click"), 1), pc.equal(b.column("has_purchase"), 1)
-        )
-        return b.filter(mask).select(["user_id"])
+    def shard_both(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        hc = np.maximum.reduceat(g["has_click"].to_numpy()[order], starts)
+        hp = np.maximum.reduceat(g["has_purchase"].to_numpy()[order], starts)
+        keep = (hc == 1) & (hp == 1)
+        return pa.table({"user_id": pa.array(uid[starts][keep], pa.int64())})
 
-    return both.map_batches(keep_both, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(shard_both, batch_format="pandas")
+    )
 
 
 def part_brand_stats(sf_dir: str) -> Dataset:
@@ -2033,12 +2177,20 @@ def part_brand_stats(sf_dir: str) -> Dataset:
             }
         )
 
-    from ray.data.aggregate import Max
+    from spider_ray.blockutil import merge_keyed_sums
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("p_brand").aggregate(
-        Sum("n_parts", alias_name="n_parts"),
-        Sum("retail_c", alias_name="retail_c"),
-        Max("max_size", alias_name="max_size"),
+    return merge_keyed_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["p_brand"],
+        aggs={"n_parts": "sum", "retail_c": "sum", "max_size": "max"},
+        empty_schema=pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("n_parts", pa.int64()),
+                ("retail_c", pa.int64()),
+                ("max_size", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -2240,12 +2392,12 @@ def doc_length_ranks(sf_dir: str) -> Dataset:
             }
         )
 
-    hist = (
-        ds.map_batches(val_partial, batch_format="pyarrow")
-        .groupby("value")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # distinct-value-sized by contract
-    )
+    # partials are distinct-value × blocks rows — driver-side pandas merge
+    # beats a sort-based all-to-all before an inevitable to_pandas (the
+    # doc_length_quantiles rationale)
+    hist = ds.map_batches(val_partial, batch_format="pyarrow").to_pandas()
+    if len(hist):
+        hist = hist.groupby("value", as_index=False)["n"].sum()
     vals = hist["value"].to_numpy()
     order = np.argsort(vals, kind="stable")
     vals = vals[order]
@@ -2299,13 +2451,20 @@ def source_lang_cube(sf_dir: str) -> Dataset:
             }
         )
 
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["source", "lang"])
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("total_chars", alias_name="total_chars"),
-        )
+    from spider_ray.blockutil import merge_keyed_sums
+
+    finest = merge_keyed_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["source", "lang"],
+        sums=["n_docs", "total_chars"],
+        empty_schema=pa.schema(
+            [
+                ("source", pa.string()),
+                ("lang", pa.string()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+            ]
+        ),
     )
 
     def cube(d: pd.DataFrame) -> pd.DataFrame:
@@ -2364,12 +2523,20 @@ def event_value_stats(sf_dir: str) -> Dataset:
             }
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "event_type"
-    ).aggregate(
-        Sum("n", alias_name="n"),
-        Sum("sum_c", alias_name="sum_c"),
-        Sum("sum_sq_c", alias_name="sum_sq_c"),
+    from spider_ray.blockutil import merge_keyed_sums
+
+    return merge_keyed_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums=["n", "sum_c", "sum_sq_c"],
+        empty_schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n", pa.int64()),
+                ("sum_c", pa.int64()),
+                ("sum_sq_c", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -2749,13 +2916,14 @@ def mode_lang_per_source(sf_dir: str) -> Dataset:
             }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["source", "lang"])
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
-    )
+    counts = ds.map_batches(partial, batch_format="pyarrow")
 
     def argmax_merge(bt: pd.DataFrame) -> pa.Table:
+        # fold the (source, lang) count reduction into the merge itself —
+        # the partials are grid × blocks rows, so one task replaces the
+        # previous grid-keyed sort-based groupby all-to-all; re-applying
+        # over the argmax output is a no-op (rows already unique per key)
+        bt = bt.groupby(["source", "lang"], as_index=False)["n_docs"].sum()
         # lang ascending then stable sort by count desc ⇒ first row per
         # source is (max count, min lang) — the SQL row_number tie rule
         bt = bt.sort_values("lang", kind="stable")
@@ -2787,11 +2955,14 @@ def clickers_without_purchase(sf_dir: str) -> Dataset:
     on this dense corpus; the day grain is the shape a churn/abandonment
     pipeline actually queries). Per-batch partial: distinct (user, day)
     per flag (one np.unique over packed keys), emitted as indicator
-    partials; one (user, day) groupby MAXes the indicators; the
-    difference is a vectorized filter. Day crosses the shuffle as int64
-    epoch-µs (the events_hourly rule) and is cast back after."""
-    from ray.data.aggregate import Max
+    partials; the INT-SHARD groupby co-locates each (user, day) pair, so
+    one maximum.reduceat per shard ORs the indicators AND applies the
+    EXCEPT filter locally (no pair-grain sort-aggregate). Day crosses the
+    shuffle as int64 epoch-µs (the events_hourly rule) and is cast back
+    after."""
+    from spider_ray.blockutil import default_join_partitions
 
+    num_shards = default_join_partitions()
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -2814,28 +2985,36 @@ def clickers_without_purchase(sf_dir: str) -> Dataset:
             zero = np.zeros(len(pairs), dtype=np.int64)
             out_c.append(one if flag == "c" else zero)
             out_p.append(zero if flag == "c" else one)
+        u = np.concatenate(out_u)
+        d = np.concatenate(out_d)
+        shard = (
+            (pd.util.hash_array(u) ^ pd.util.hash_array(d)) % num_shards
+        ).astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array(np.concatenate(out_u), pa.int64()),
-                "day": pa.array(np.concatenate(out_d), pa.int64()),
+                "_s": pa.array(shard),
+                "user_id": pa.array(u, pa.int64()),
+                "day": pa.array(d, pa.int64()),
                 "c": pa.array(np.concatenate(out_c)),
                 "p": pa.array(np.concatenate(out_p)),
             }
         )
 
-    flags = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Max("c", alias_name="c"), Max("p", alias_name="p"))
-    )
-
-    def diff(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.equal(b.column("c"), 1), pc.equal(b.column("p"), 0))
-        kept = b.filter(keep)
+    def shard_diff(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        starts = np.flatnonzero(
+            np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        )
+        c = np.maximum.reduceat(g["c"].to_numpy()[order], starts)
+        p = np.maximum.reduceat(g["p"].to_numpy()[order], starts)
+        keep = (c == 1) & (p == 0)
         return pa.table(
             {
-                "user_id": kept.column("user_id"),
-                "day": kept.column("day").cast(pa.timestamp("us")),
+                "user_id": pa.array(uid[starts][keep], pa.int64()),
+                "day": pa.array(day[starts][keep]).cast(pa.timestamp("us")),
             }
         )
 
@@ -2844,7 +3023,9 @@ def clickers_without_purchase(sf_dir: str) -> Dataset:
     # an all-purchaser corpus yields an EMPTY difference — pin the schema
     # through Ray's empty-block pruning (blockutil.drop_empty_blocks)
     return drop_empty_blocks(
-        flags.map_batches(diff, batch_format="pyarrow"),
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(shard_diff, batch_format="pandas"),
         pa.schema([("user_id", pa.int64()), ("day", pa.timestamp("us"))]),
     )
 
@@ -2915,11 +3096,17 @@ def late_shipment_priority_counts(
             }
         )
 
-    return (
-        tagged.groupby("_s")
-        .map_groups(shard_semi, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    from spider_ray.blockutil import merge_keyed_sums
+
+    # ≤5 partial rows leave each shard — answer-sized, so the finish is
+    # final_merge's single task, not a second sort-based groupby all-to-all
+    return merge_keyed_sums(
+        tagged.groupby("_s").map_groups(shard_semi, batch_format="pandas"),
+        keys=["o_orderpriority"],
+        sums=["n_orders"],
+        empty_schema=pa.schema(
+            [("o_orderpriority", pa.string()), ("n_orders", pa.int64())]
+        ),
     )
 
 
@@ -2966,9 +3153,19 @@ def nation_customer_supplier_balance(sf_dir: str) -> Dataset:
     tagged = cust.map_batches(side("c_nationkey", 0), batch_format="pyarrow").union(
         supp.map_batches(side("s_nationkey", 1), batch_format="pyarrow")
     )
-    agg = tagged.groupby("nationkey").aggregate(
-        Sum("n_customers", alias_name="n_customers"),
-        Sum("n_suppliers", alias_name="n_suppliers"),
+    from spider_ray.blockutil import merge_keyed_sums
+
+    agg = merge_keyed_sums(
+        tagged,
+        keys=["nationkey"],
+        sums=["n_customers", "n_suppliers"],
+        empty_schema=pa.schema(
+            [
+                ("nationkey", pa.int64()),
+                ("n_customers", pa.int64()),
+                ("n_suppliers", pa.int64()),
+            ]
+        ),
     )
 
     def attach_name(b: pa.Table) -> pa.Table:
@@ -2994,9 +3191,17 @@ def hourly_active_users(sf_dir: str) -> Dataset:
     'hourly actives' metric; events_hourly counts rows, this counts
     users). Per-batch partial: one np.unique over packed (hour, user)
     int64 pairs — the exchange carries distinct-(hour, user)-per-block
-    rows, never event rows; one (hour, user) groupby dedups across blocks
-    and a second hour-keyed combiner pass counts. Hour crosses the
-    shuffle as int64 epoch-µs (the events_hourly rule)."""
+    rows, never event rows. Cross-block dedup is the INT-SHARD groupby on
+    ``hash(hour, user) % P`` (a pair lives wholly in one shard, so one
+    np.unique per shard is a GLOBAL dedup and the shard emits per-hour
+    partial counts directly); the hour-keyed combiner finish is
+    final_merge's single task — this replaces the previous
+    pair-grain ``groupby((hour, user))`` + hour-grain groupby pair of
+    sort-based all-to-alls (2.7 s → ~1.2 s at sf0.1/32 cpus). Hour
+    crosses the shuffle as int64 epoch-µs (the events_hourly rule)."""
+    from spider_ray.blockutil import default_join_partitions, merge_keyed_sums
+
+    num_shards = default_join_partitions()
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -3008,22 +3213,27 @@ def hourly_active_users(sf_dir: str) -> Dataset:
         )
         uid = b.column("user_id").to_numpy()
         pairs = np.unique(np.stack([hour, uid], axis=1), axis=0)
+        shard = (
+            (
+                pd.util.hash_array(pairs[:, 0])
+                ^ pd.util.hash_array(pairs[:, 1])
+            )
+            % num_shards
+        ).astype(np.int64)
         return pa.table(
             {
+                "_s": pa.array(shard),
                 "hour": pa.array(pairs[:, 0], pa.int64()),
                 "user_id": pa.array(pairs[:, 1], pa.int64()),
             }
         )
 
-    dedup = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["hour", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-    )
-
-    def count_partial(b: pa.Table) -> pa.Table:
-        hour = b.column("hour").to_numpy()
-        uh, cnt = np.unique(hour, return_counts=True)
+    def shard_distinct_counts(g: pd.DataFrame) -> pa.Table:
+        pairs = np.unique(
+            np.stack([g["hour"].to_numpy(), g["user_id"].to_numpy()], axis=1),
+            axis=0,
+        )
+        uh, cnt = np.unique(pairs[:, 0], return_counts=True)
         return pa.table(
             {
                 "hour": pa.array(uh, pa.int64()),
@@ -3031,10 +3241,13 @@ def hourly_active_users(sf_dir: str) -> Dataset:
             }
         )
 
-    agg = (
-        dedup.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("hour")
-        .aggregate(Sum("n_users", alias_name="n_users"))
+    agg = merge_keyed_sums(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_s")
+        .map_groups(shard_distinct_counts, batch_format="pandas"),
+        keys=["hour"],
+        sums=["n_users"],
+        empty_schema=pa.schema([("hour", pa.int64()), ("n_users", pa.int64())]),
     )
 
     def cast_back(b: pa.Table) -> pa.Table:

@@ -28,7 +28,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 TOKEN_RE = r"\S+"
 # GPT-2-style pre-tokenizer, simplified to be RE2-compatible (no lookahead):
@@ -144,8 +143,17 @@ def lang_confusion(sf_dir: str) -> Dataset:
         g = out.groupby(["lang", "lang_pred"], sort=False).size().reset_index(name="n")
         return g
 
+    from spider_ray.blockutil import merge_keyed_sums
+
     preds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(f, batch_format="pandas")
-    return preds.groupby(["lang", "lang_pred"]).aggregate(Sum("n", alias_name="n"))
+    return merge_keyed_sums(
+        preds,
+        keys=["lang", "lang_pred"],
+        sums=["n"],
+        empty_schema=pa.schema(
+            [("lang", pa.string()), ("lang_pred", pa.string()), ("n", pa.int64())]
+        ),
+    )
 
 
 def shingle_stats(sf_dir: str, n: int = 3) -> Dataset:
@@ -214,6 +222,77 @@ def rolling_fingerprint(text: str, window: int = 8, base: int = 257, mod: int = 
     return best
 
 
+def _token_shard_sum(partials: Dataset, val: str, num_shards: int) -> Dataset:
+    """INT-SHARD reduce for a (token, val) partial stream: tokens co-located
+    by ``hash(token) % P`` (one cheap int-key exchange instead of a
+    token-grain string sort-aggregate — the top_bigrams measurement), each
+    shard merged with one pandas C-hash groupby. Output stays distributed
+    (vocab-sized)."""
+
+    def add_shard(d: pd.DataFrame) -> pd.DataFrame:
+        tok = d["token"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(tok) % num_shards).astype(np.int64),
+                "token": tok,
+                val: d[val].to_numpy().astype(np.int64),
+            }
+        )
+
+    def shard_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False, sort=False)[val].sum()
+
+    # map_batches fuses with the upstream partial task — no extra pass
+    return (
+        partials.map_batches(add_shard, batch_format="pandas")
+        .groupby("_s")
+        .map_groups(shard_sum, batch_format="pandas")
+    )
+
+
+def _token_shard_topk(
+    partials: Dataset, val: str, k: int, num_shards: int
+) -> Dataset:
+    """_token_shard_sum with the top-k fused into the shard reduce (valid:
+    the global top-k is a subset of the union of shard top-ks) and an
+    answer-sized final merge — replaces a vocab-grain sort + limit."""
+    from spider_ray.blockutil import final_merge
+
+    def add_shard(d: pd.DataFrame) -> pd.DataFrame:
+        tok = d["token"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "_s": (pd.util.hash_array(tok) % num_shards).astype(np.int64),
+                "token": tok,
+                val: d[val].to_numpy().astype(np.int64),
+            }
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", as_index=False, sort=False)[val].sum()
+        return agg.sort_values(
+            [val, "token"], ascending=[False, True], kind="stable"
+        ).head(k)[["token", val]]
+
+    def merge_topk(d: pd.DataFrame) -> pd.DataFrame:
+        return (
+            d.sort_values([val, "token"], ascending=[False, True], kind="stable")
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    shards = (
+        partials.map_batches(add_shard, batch_format="pandas")
+        .groupby("_s")
+        .map_groups(shard_topk, batch_format="pandas")
+    )
+    return final_merge(
+        shards,
+        merge_topk,
+        pa.schema([("token", pa.string()), (val, pa.int64())]),
+    )
+
+
 def token_doc_frequency(sf_dir: str, k: int = 50) -> Dataset:
     """Corpus vocabulary DOCUMENT FREQUENCY: for each token, the number of
     documents containing it, top-k by (df DESC, token ASC) — the DF half of
@@ -232,13 +311,15 @@ def token_doc_frequency(sf_dir: str, k: int = 50) -> Dataset:
     O(vocab × blocks) partial rows, never O(token occurrences): at the
     100 TB design point the exchange is bounded by vocabulary size, the
     same combiner contract as q1. The final top-k is a vocab-sized sort."""
+    from spider_ray.blockutil import default_join_partitions
+
     ds = _docs(sf_dir, ["doc_id", "text"])
-    agg = (
-        ds.map_batches(_partial_df, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+    return _token_shard_topk(
+        ds.map_batches(_partial_df, batch_format="pyarrow"),
+        "df",
+        k,
+        default_join_partitions(),
     )
-    return agg.sort(["df", "token"], descending=[True, False]).limit(k)
 
 
 def _partial_df(b: pa.Table) -> pd.DataFrame:
@@ -286,12 +367,14 @@ def top_tokens(sf_dir: str, k: int = 50) -> Dataset:
         keep = pc.not_equal(tok, "")
         return pa.table({"token": tok.filter(keep), "n": cnt.filter(keep)})
 
-    agg = (
-        ds.map_batches(partial_tf, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+    from spider_ray.blockutil import default_join_partitions
+
+    return _token_shard_topk(
+        ds.map_batches(partial_tf, batch_format="pyarrow"),
+        "n",
+        k,
+        default_join_partitions(),
     )
-    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
 def _partial_tf_rows(b: pa.Table) -> pd.DataFrame:
@@ -380,12 +463,9 @@ def tfidf_top_terms(
     if num_shards is None:
         num_shards = default_join_partitions()
     ds = _docs(sf_dir, ["doc_id", "text"])
-    df_mat = (
-        ds.map_batches(_partial_df, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
-        .materialize()
-    )
+    df_mat = _token_shard_sum(
+        ds.map_batches(_partial_df, batch_format="pyarrow"), "df", num_shards
+    ).materialize()
 
     if df_mat.size_bytes() <= broadcast_vocab_limit:
         vocab_ref = ray.put(df_mat.to_pandas())
@@ -794,12 +874,11 @@ def clean_dedup_corpus(sf_dir: str, min_tokens: int = 10, max_dup_pct: int = 20,
                 {"source": g.column("source"), "n_docs": g.column("n_docs_sum")}
             )
 
-        result = (
-            back.map_batches(count_partial, batch_format="pyarrow")
-            .groupby("source")
-            .aggregate(Sum("n_docs", alias_name="n_docs"))
-            .to_pandas()  # sources-sized — the answer itself
-        )
+        # sources × blocks partials — one driver pandas merge instead of a
+        # sort-based all-to-all before an inevitable to_pandas
+        result = back.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+        if len(result):
+            result = result.groupby("source", as_index=False)["n_docs"].sum()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return ray.data.from_pandas(result)
@@ -977,14 +1056,19 @@ def split_documents(
             }
         )
 
-    return (
-        _docs(sf_dir, ["n_chars", "text"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("split")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("total_chars", alias_name="total_chars"),
-        )
+    from spider_ray.blockutil import merge_keyed_sums
+
+    return merge_keyed_sums(
+        _docs(sf_dir, ["n_chars", "text"]).map_batches(partial, batch_format="pandas"),
+        keys=["split"],
+        sums=["n_docs", "total_chars"],
+        empty_schema=pa.schema(
+            [
+                ("split", pa.string()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+            ]
+        ),
     )
 
 
