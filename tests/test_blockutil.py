@@ -238,3 +238,52 @@ def test_final_merge_all_empty_preserves_schema():
     assert out.count() == 0
     assert out.schema().names == ["doc_a", "doc_b"]
     assert out.schema().types == [pa.int64(), pa.timestamp("us")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_keyed_sums_null_keys_mixed_aggs_and_two_level():
+    """merge_keyed_sums must (a) keep a NULL key as a real group (pandas
+    groupby would silently drop it without dropna=False — the
+    orders_by_segment unmatched-order path), (b) honor per-column
+    'sum'/'max' aggs, and (c) give identical output when the two-level
+    threshold path forces a double application (the idempotence contract)."""
+    import pandas as pd
+    import ray
+
+    from spider_ray.blockutil import merge_keyed_sums
+
+    parts = [
+        pd.DataFrame({"k": ["a", None, "b"], "n": [1, 2, 3], "m": [5, 7, 1]}),
+        pd.DataFrame({"k": [None, "a"], "n": [10, 20], "m": [2, 9]}),
+    ]
+    schema = pa.schema([("k", pa.string()), ("n", pa.int64()), ("m", pa.int64())])
+    want = {"a": (21, 9), None: (12, 7), "b": (3, 1)}
+    for threshold in (2_000_000, 1):  # single-level, then forced two-level
+        out = merge_keyed_sums(
+            ray.data.from_pandas(parts),
+            keys=["k"],
+            aggs={"n": "sum", "m": "max"},
+            empty_schema=schema,
+            threshold_rows=threshold,
+        ).to_pandas()
+        got = {
+            (None if pd.isna(r.k) else r.k): (int(r.n), int(r.m))
+            for r in out.itertuples()
+        }
+        assert got == want, (threshold, got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_keyed_sums_empty_input_preserves_schema():
+    import pandas as pd
+    import ray
+
+    from spider_ray.blockutil import merge_keyed_sums
+
+    parts = [pd.DataFrame({"k": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")})]
+    schema = pa.schema([("k", pa.string()), ("n", pa.int64())])
+    out = merge_keyed_sums(
+        ray.data.from_pandas(parts), keys=["k"], sums=["n"], empty_schema=schema
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["k", "n"]
